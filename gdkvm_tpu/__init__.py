@@ -1,0 +1,24 @@
+"""gdkvm_tpu — a TPU-native (JAX/XLA/Pallas/pjit) echocardiography video
+segmentation framework with the capabilities of GDKVM (ICCV 2025,
+arXiv 2512.10252).
+
+Built from scratch against the structural survey of the reference project
+(see /root/repo/SURVEY.md). The reference repo is the paper's project website;
+the model/training capabilities reproduced here come from its reproduction
+guide (reference: website/src/pages/[lang]/reprod/index.astro) and abstract
+(reference: README.md:16-22), re-designed TPU-first:
+
+- Gated Delta Rule (GDR) spatiotemporal memory as a chunked linear-attention
+  scan (pure-JAX reference + chunkwise WY form + Pallas TPU kernel with the
+  KV state resident in VMEM across frames).
+- Linear Key-Value Association (LKVA) as multi-head linear attention over an
+  associative state matrix (no growing KV bank).
+- Key-Pixel Feature Fusion (KPFF) multi-scale mixing of local key, global
+  (memory-readout) key, and pixel features.
+- SPMD distribution via jax.sharding.Mesh + NamedSharding (data/model axes),
+  not DDP/NCCL.
+"""
+
+__version__ = "0.1.0"
+
+from gdkvm_tpu.config.schema import Config, load_config  # noqa: F401

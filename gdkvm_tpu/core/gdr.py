@@ -1,0 +1,192 @@
+"""Gated Delta Rule (GDR) memory recurrence — the numerical core of GDKVM.
+
+GDKVM's spatiotemporal memory is a fixed-size associative state matrix
+``S ∈ R^{d_k × d_v}`` (per head) updated frame-to-frame by a gated delta rule
+and read by linear attention (LKVA).  The reference describes this as
+"defin[ing] frame-to-frame causal relations as the state transition matrix"
+and "dynamically managing memory" (reference: README.md:20,
+website/src/content/homepage/en.json:20); the recurrence math follows the
+Gated DeltaNet lineage (arXiv 2412.06464) re-derived here from scratch.
+
+Semantics (one frame = one chunk of N spatial tokens):
+
+    S̃_t   = α_t · S_{t-1}                       (per-frame forget gate)
+    o_t,i = S̃_tᵀ q_t,i                          (LKVA read, all N tokens)
+    S_t   = Π_{i=N..1}(I − β_i k_i k_iᵀ) S̃_t    (delta-rule writes, in
+            + Σ_i [Π_{j>i}(I − β_j k_j k_jᵀ)] β_i k_i v_iᵀ   raster order)
+
+Reads use the *decayed pre-write* state, so a frame never attends to its own
+writes through the memory; intra-frame interactions are KPFF's job
+(see gdkvm_tpu/core/kpff.py).
+
+Three interchangeable implementations, parity-tested in
+tests/test_gdr.py:
+
+- :func:`gdr_ref` — token-level ``lax.scan``; the executable definition.
+- :func:`gdr_chunked` — chunkwise WY/UT-transform closed form (matmul-only,
+  MXU-friendly, differentiable); used by training.
+- ``gdkvm_tpu.ops.gdr_pallas`` — Pallas TPU kernel with S resident in VMEM
+  across the whole scan; used by streaming inference.
+
+All math is fp32 internally regardless of input dtype; the state is always
+fp32.
+
+Shape conventions (single head; public wrappers vmap over batch & heads):
+
+    q, k : (T, N, d_k)   v : (T, N, d_v)   beta : (T, N)   alpha : (T,)
+    s0   : (d_k, d_v)    →  o : (T, N, d_v), s_T : (d_k, d_v)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# The GDR state math is precision-sensitive (rank-1 cancellations in the
+# delta rule): force true-fp32 MXU passes instead of TPU's default bf16
+# matmul truncation.  These matrices are small (≤128×128 per head), so the
+# 3-6 MXU passes of HIGHEST are cheap next to the encoder convs.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+def delta_write_ref(s: jax.Array, k: jax.Array, v: jax.Array,
+                    beta: jax.Array) -> jax.Array:
+    """One delta-rule write: ``S ← (I − β k kᵀ) S + β k vᵀ``.
+
+    Args:
+      s: (d_k, d_v) state.  k: (d_k,).  v: (d_v,).  beta: scalar in (0,1).
+    """
+    s = s.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    beta = beta.astype(jnp.float32)
+    # (I − β k kᵀ) S + β k vᵀ  ==  S + β k (v − Sᵀk)ᵀ   (rank-1, fused form)
+    return s + beta * jnp.outer(k, v - _mm(s.T, k))
+
+
+def gdr_frame_ref(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
+                  beta: jax.Array, alpha: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """One frame of the GDR recurrence, token-level sequential (reference).
+
+    Args:
+      s: (d_k, d_v).  q,k: (N, d_k).  v: (N, d_v).  beta: (N,).  alpha: scalar.
+    Returns:
+      (s_new, o) with o: (N, d_v).
+    """
+    s = alpha.astype(jnp.float32) * s.astype(jnp.float32)
+    o = _mm(q.astype(jnp.float32), s)
+
+    def write(s, tok):
+        k_i, v_i, b_i = tok
+        return delta_write_ref(s, k_i, v_i, b_i), None
+
+    s, _ = jax.lax.scan(write, s, (k, v, beta))
+    return s, o
+
+
+def gdr_ref(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
+            alpha: jax.Array, s0: jax.Array
+            ) -> Tuple[jax.Array, jax.Array]:
+    """Token-level scan reference for the full sequence. Ground truth.
+
+    Shapes: see module docstring.  Returns (o (T,N,d_v) fp32, s_T fp32).
+    """
+    def frame(s, xs):
+        q_t, k_t, v_t, b_t, a_t = xs
+        s, o_t = gdr_frame_ref(s, q_t, k_t, v_t, b_t, a_t)
+        return s, o_t
+
+    s_t, o = jax.lax.scan(frame, s0.astype(jnp.float32),
+                          (q, k, v, beta, alpha))
+    return o, s_t
+
+
+def _wy_transform(k: jax.Array, v: jax.Array, beta: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Chunk WY form: U, W such that applying N delta-rule writes equals
+    ``S ← S + Kᵀ (U − W S)``.
+
+    Derivation (verified against gdr_ref in tests/test_gdr.py): with
+    ``A = strict_tril(diag(β) K Kᵀ)`` and ``T = (I + A)^{-1}`` (unit lower
+    triangular), set ``U = T diag(β) V`` and ``W = T diag(β) K``.
+
+    Args:
+      k: (N, d_k).  v: (N, d_v).  beta: (N,).
+    Returns:
+      U: (N, d_v), W: (N, d_k)  (both fp32).
+    """
+    n = k.shape[0]
+    k = k.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    beta = beta.astype(jnp.float32)
+
+    kb = k * beta[:, None]                       # diag(β) K
+    a = jnp.tril(_mm(kb, k.T), k=-1)                 # strict lower
+    eye = jnp.eye(n, dtype=jnp.float32)
+    # T = (I + A)^{-1}: unit-lower-triangular solve against [diag(β)V | diag(β)K]
+    rhs = jnp.concatenate([v * beta[:, None], kb], axis=1)
+    uw = jax.scipy.linalg.solve_triangular(eye + a, rhs, lower=True,
+                                           unit_diagonal=True)
+    return uw[:, : v.shape[1]], uw[:, v.shape[1]:]
+
+
+def gdr_frame_chunked(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
+                      beta: jax.Array, alpha: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """One frame via the chunk closed form (matmuls only).
+
+    Same contract as :func:`gdr_frame_ref`.
+    """
+    s = alpha.astype(jnp.float32) * s.astype(jnp.float32)
+    q = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    o = _mm(q, s)
+    u, w = _wy_transform(k, v, beta)
+    s = s + _mm(k32.T, u - _mm(w, s))
+    return s, o
+
+
+def gdr_chunked(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
+                alpha: jax.Array, s0: jax.Array
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Chunkwise-parallel GDR over a sequence: scan over frames, closed form
+    within each frame.  Differentiable; the training path.
+
+    Shapes: see module docstring.  Returns (o (T,N,d_v) fp32, s_T fp32).
+    """
+    def frame(s, xs):
+        q_t, k_t, v_t, b_t, a_t = xs
+        s, o_t = gdr_frame_chunked(s, q_t, k_t, v_t, b_t, a_t)
+        return s, o_t
+
+    s_t, o = jax.lax.scan(frame, s0.astype(jnp.float32),
+                          (q, k, v, beta, alpha))
+    return o, s_t
+
+
+# ---------------------------------------------------------------------------
+# Batched / multi-head wrappers.
+# ---------------------------------------------------------------------------
+
+def _bh_wrap(fn):
+    """Lift a single-head gdr fn to (B, H, T, N, d) / (B,H,T,N) / (B,H,T) /
+    (B, H, d_k, d_v) shapes via nested vmap."""
+    head = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))     # heads
+    batch = jax.vmap(head, in_axes=(0, 0, 0, 0, 0, 0))  # batch
+    @functools.wraps(fn)
+    def wrapped(q, k, v, beta, alpha, s0):
+        return batch(q, k, v, beta, alpha, s0)
+    return wrapped
+
+
+gdr_ref_bh = _bh_wrap(gdr_ref)
+gdr_chunked_bh = _bh_wrap(gdr_chunked)
+
+
+def init_state(batch: int, heads: int, d_k: int, d_v: int) -> jax.Array:
+    """Zero-initialized memory state (B, H, d_k, d_v) fp32."""
+    return jnp.zeros((batch, heads, d_k, d_v), dtype=jnp.float32)
