@@ -168,6 +168,22 @@ def gdr_chunked(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
     return o, s_t
 
 
+def gdr_write_chunk(s: jax.Array, k: jax.Array, v: jax.Array,
+                    beta: jax.Array) -> jax.Array:
+    """Write-only chunk update (no decay, no read): N delta-rule writes.
+
+    ``S ← S + Kᵀ (U − W S)``.  Used for mask-prompt writes into the initial
+    memory state (see gdkvm_tpu/models/lkva.py) and as the write half of
+    :func:`gdr_frame_chunked`.
+
+    Args:
+      s: (d_k, d_v).  k: (N, d_k).  v: (N, d_v).  beta: (N,).
+    """
+    s = s.astype(jnp.float32)
+    u, w = _wy_transform(k, v, beta)
+    return s + _mm(k.astype(jnp.float32).T, u - _mm(w, s))
+
+
 # ---------------------------------------------------------------------------
 # Batched / multi-head wrappers.
 # ---------------------------------------------------------------------------
@@ -185,6 +201,9 @@ def _bh_wrap(fn):
 
 gdr_ref_bh = _bh_wrap(gdr_ref)
 gdr_chunked_bh = _bh_wrap(gdr_chunked)
+
+# (B,H,·) wrapper for write-only prompt updates.
+gdr_write_chunk_bh = jax.vmap(jax.vmap(gdr_write_chunk))
 
 
 def init_state(batch: int, heads: int, d_k: int, d_v: int) -> jax.Array:

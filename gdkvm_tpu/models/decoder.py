@@ -1,0 +1,110 @@
+"""KPFF fusion + multi-scale decoder.
+
+"KPFF fuses the local key feature, the global key feature with the pixel
+feature" at multiple scales, "enhancing robustness against boundary blurring
+and noise" (reference: website/src/content/homepage/en.json:20,
+README.md:20).  Here:
+
+- *pixel feature*  = the encoder feature map at that scale (skip connection),
+- *local key feature* = a depthwise-separable conv of the scale's features
+  (local spatial context),
+- *global key feature* = the LKVA memory readout (stride 16), projected and
+  bilinearly upsampled to the scale.
+
+Each KPFF block concatenates the three, mixes with 1×1 + 3×3 convs, and
+applies an SE-style channel gate computed from the global feature — so memory
+content modulates which channels survive at every scale.
+
+The decoder runs batched over all frames (B·T folded into the batch dim) —
+convs stay large for the MXU; only the GDR scan is sequential.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gdkvm_tpu.models.encoder import _gn_groups
+
+
+def resize_bilinear(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize of NHWC maps (jax.image, fused by XLA)."""
+    b, h, w, c = x.shape
+    if (h, w) == hw:
+        return x
+    return jax.image.resize(x, (b, hw[0], hw[1], c), method="bilinear")
+
+
+class KPFFBlock(nn.Module):
+    """Key-Pixel Feature Fusion at one scale."""
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pixel: jax.Array, global_key: jax.Array,
+                 up: jax.Array | None = None) -> jax.Array:
+        """pixel: (B,h,w,Cp) encoder skip. global_key: (B,hg,wg,Cg) memory
+        readout map. up: decoder stream from the coarser scale (optional)."""
+        hw = pixel.shape[1:3]
+        g = resize_bilinear(global_key, hw).astype(self.dtype)
+        g = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="global_proj")(g)
+
+        # Local key feature: depthwise 3×3 + pointwise over the pixel map.
+        loc = nn.Conv(pixel.shape[-1], (3, 3), padding="SAME",
+                      feature_group_count=pixel.shape[-1], use_bias=False,
+                      dtype=self.dtype, name="local_dw")(pixel)
+        loc = nn.Conv(self.channels, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="local_pw")(loc)
+
+        px = nn.Conv(self.channels, (1, 1), use_bias=False,
+                     dtype=self.dtype, name="pixel_proj")(pixel)
+
+        parts = [px, loc, g]
+        if up is not None:
+            parts.append(resize_bilinear(up, hw).astype(self.dtype))
+        h = jnp.concatenate(parts, axis=-1)
+        h = nn.Conv(self.channels, (1, 1), use_bias=False,
+                    dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
+                         dtype=self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
+                         dtype=self.dtype)(h)
+        h = nn.silu(h)
+
+        # SE-style channel gate from the global (memory) feature: memory
+        # decides which fused channels matter at this scale.
+        se = jnp.mean(g.astype(jnp.float32), axis=(1, 2))
+        se = nn.silu(nn.Dense(max(self.channels // 4, 8),
+                              dtype=self.dtype)(se.astype(self.dtype)))
+        se = nn.sigmoid(nn.Dense(self.channels, dtype=self.dtype)(se))
+        return h * se[:, None, None, :]
+
+
+class Decoder(nn.Module):
+    """KPFF blocks at strides 16/8/4, then logits upsampled to input size.
+
+    Per-frame mask logits output matches the reference API shape
+    ("per-frame mask logits, memory-state carry", /root/repo/BASELINE.json).
+    """
+    channels: Sequence[int] = (96, 64, 48)   # at strides 16, 8, 4
+    num_classes: int = 2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, f4: jax.Array, f8: jax.Array, f16: jax.Array,
+                 readout: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+        c16, c8, c4 = self.channels
+        d16 = KPFFBlock(c16, dtype=self.dtype, name="kpff16")(f16, readout)
+        d8 = KPFFBlock(c8, dtype=self.dtype, name="kpff8")(f8, readout, d16)
+        d4 = KPFFBlock(c4, dtype=self.dtype, name="kpff4")(f4, readout, d8)
+        logits4 = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                          name="head")(d4)
+        # Predict at stride 4, bilinear-upsample logits to full resolution.
+        return resize_bilinear(logits4.astype(jnp.float32), out_hw)

@@ -1,0 +1,92 @@
+"""Per-frame CNN encoder producing multi-scale pixel features.
+
+The reference situates GDKVM in the CNN + space-time-memory-network lineage
+(reference: README.md:18): a per-frame backbone yields pixel features at
+strides 4/8/16; the stride-16 map feeds the LKVA/GDR memory, and all scales
+feed KPFF fusion in the decoder.
+
+TPU-first choices: NHWC layout (XLA's native conv layout on TPU), bf16
+compute with fp32 params, GroupNorm (batch-size independent — works for
+batch-1 streaming), SiLU activations, and channel counts that are multiples
+of 8 to keep MXU tiles full.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _gn_groups(c: int) -> int:
+    for g in (32, 16, 8, 4, 2, 1):
+        if c % g == 0:
+            return g
+    return 1
+
+
+class ConvBlock(nn.Module):
+    """Residual conv block: 3×3 → GN → SiLU → 3×3 → GN, skip, SiLU."""
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
+                         dtype=self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
+                         dtype=self.dtype)(h)
+        if x.shape[-1] != self.channels:
+            x = nn.Conv(self.channels, (1, 1), use_bias=False,
+                        dtype=self.dtype)(x)
+        return nn.silu(x + h)
+
+
+class Encoder(nn.Module):
+    """Stem (/4) + two downsampling stages (/8, /16).
+
+    Returns features at strides 4, 8, 16 (NHWC, compute dtype).
+    """
+    channels: Sequence[int] = (32, 64, 96, 128)   # stem0, /4, /8, /16
+    blocks: Sequence[int] = (1, 2, 2, 2)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        # x: (B, H, W, C_in) — a batch of frames.
+        x = x.astype(self.dtype)
+        c0, c4, c8, c16 = self.channels
+        b0, b4, b8, b16 = self.blocks
+
+        # Stem: /2 then /2 → stride 4.
+        h = nn.Conv(c0, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=_gn_groups(c0), dtype=self.dtype)(h)
+        h = nn.silu(h)
+        for _ in range(b0):
+            h = ConvBlock(c0, dtype=self.dtype)(h)
+        h = nn.Conv(c4, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(h)
+        for _ in range(b4):
+            h = ConvBlock(c4, dtype=self.dtype)(h)
+        f4 = h
+
+        h = nn.Conv(c8, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(h)
+        for _ in range(b8):
+            h = ConvBlock(c8, dtype=self.dtype)(h)
+        f8 = h
+
+        h = nn.Conv(c16, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(h)
+        for _ in range(b16):
+            h = ConvBlock(c16, dtype=self.dtype)(h)
+        f16 = h
+        return f4, f8, f16

@@ -1,0 +1,113 @@
+"""GDKVM model tests: shapes, streaming ≡ batched, prompting (SURVEY §4.2e)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdkvm_tpu.config.schema import ModelConfig
+from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        in_channels=1, num_classes=2,
+        enc_channels=(8, 16, 24, 32), enc_blocks=(1, 1, 1, 1),
+        num_heads=2, head_dim_k=16, head_dim_v=16,
+        kpff_channels=(24, 16, 8),
+        compute_dtype="float32",   # fp32 on CPU for exact stream equivalence
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_cfg()
+    model = GDKVM(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=64)
+    return model, params
+
+
+def _frames(key, b=1, t=6, s=64):
+    return jax.random.uniform(key, (b, t, s, s, 1))
+
+
+def test_forward_shapes(model_and_params):
+    model, params = model_and_params
+    frames = _frames(jax.random.PRNGKey(1), b=2, t=4)
+    logits, state = model.apply(params, frames)
+    assert logits.shape == (2, 4, 64, 64, 2)
+    assert logits.dtype == jnp.float32
+    assert state.mem.shape == (2, 2, 16, 16)
+    assert state.mem.dtype == jnp.float32
+    assert (state.frames_seen == 4).all()
+
+
+def test_streaming_equals_batched(model_and_params):
+    """Chunked streaming with carried state ≡ full-clip batched forward."""
+    model, params = model_and_params
+    frames = _frames(jax.random.PRNGKey(2), t=6)
+    full, s_full = jax.jit(model.apply)(params, frames)
+
+    apply = jax.jit(model.apply)
+    state = None
+    outs = []
+    for lo, hi in [(0, 2), (2, 3), (3, 6)]:   # uneven chunks on purpose
+        logits, state = apply(params, frames[:, lo:hi], state)
+        outs.append(logits)
+    stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.mem), np.asarray(s_full.mem),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_memory_affects_later_frames(model_and_params):
+    """Changing frame 0 must change predictions for later frames (the
+    memory actually carries information across time)."""
+    model, params = model_and_params
+    frames = _frames(jax.random.PRNGKey(3), t=4)
+    logits_a, _ = model.apply(params, frames)
+    frames_b = frames.at[:, 0].set(jnp.roll(frames[:, 0], 7, axis=1))
+    logits_b, _ = model.apply(params, frames_b)
+    diff_later = float(jnp.abs(logits_a[:, 1:] - logits_b[:, 1:]).max())
+    assert diff_later > 1e-6, "memory carries no information across frames"
+
+
+def test_prompt_changes_output(model_and_params):
+    """A first-frame mask prompt must alter predictions (prompt is written
+    into the initial memory state)."""
+    model, params = model_and_params
+    frames = _frames(jax.random.PRNGKey(4), t=3)
+    mask = jnp.zeros((1, 64, 64), jnp.int32).at[:, 16:48, 16:48].set(1)
+    logits_np, _ = model.apply(params, frames)
+    logits_p, _ = model.apply(params, frames, None, mask)
+    assert float(jnp.abs(logits_np - logits_p).max()) > 1e-6
+
+
+def test_grad_through_model(model_and_params):
+    model, params = model_and_params
+    frames = _frames(jax.random.PRNGKey(5), t=2, s=32)
+
+    def loss_fn(p):
+        logits, _ = model.apply(p, frames)
+        return jnp.mean(logits ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(jnp.all(jnp.isfinite(x)) for x in leaves)
+    nonzero = sum(int(jnp.any(x != 0)) for x in leaves)
+    assert nonzero > len(leaves) * 0.8, "most params should get gradient"
+
+
+def test_bf16_compute_path():
+    """bf16 compute compiles and yields finite fp32 logits."""
+    cfg = tiny_cfg(compute_dtype="bfloat16")
+    model = GDKVM(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=32)
+    frames = _frames(jax.random.PRNGKey(6), t=2, s=32)
+    logits, state = jax.jit(model.apply)(params, frames)
+    assert logits.dtype == jnp.float32
+    assert state.mem.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
