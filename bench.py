@@ -1,0 +1,52 @@
+"""Headline benchmark: EchoNet-shaped streaming LV segmentation throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 2000 frames/sec/chip (north star, /root/repo/BASELINE.json) for
+streaming 112×112 segmentation with carried memory state on one TPU v5e.
+
+Flagship model config = EchoNet streaming (configs/echonet_stream.yaml
+model section): enc 32/64/96/128, 4 heads × 64×64 GDR state, bf16 compute.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+    from gdkvm_tpu.config.schema import ModelConfig
+    from gdkvm_tpu.eval.throughput import measure_streaming_fps
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+
+    cfg = ModelConfig(num_classes=2, in_channels=1)
+    if os.environ.get("GDKVM_BENCH_PALLAS", "1") == "1":
+        try:
+            from gdkvm_tpu.ops import gdr_pallas  # noqa: F401
+            if jax.devices()[0].platform != "cpu":
+                cfg = ModelConfig(num_classes=2, in_channels=1,
+                                  gdr_impl="pallas")
+        except Exception:
+            pass
+
+    model = GDKVM(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=112)
+
+    chunk = int(os.environ.get("GDKVM_BENCH_CHUNK", "16"))
+    batch = int(os.environ.get("GDKVM_BENCH_BATCH", "1"))
+    result = measure_streaming_fps(model, params, image_size=112,
+                                   chunk=chunk, batch=batch,
+                                   warmup_chunks=3, timed_chunks=30)
+    fps = result["frames_per_sec"]
+    print(json.dumps({
+        "metric": "echonet_streaming_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

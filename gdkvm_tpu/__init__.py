@@ -21,4 +21,14 @@ guide (reference: website/src/pages/[lang]/reprod/index.astro) and abstract
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("GDKVM_PLATFORM"):
+    # Select the JAX platform (e.g. cpu for local debugging) even when the
+    # environment pre-imports jax with a pinned JAX_PLATFORMS: config
+    # updates work any time before backend initialization.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GDKVM_PLATFORM"])
+
 from gdkvm_tpu.config.schema import Config, load_config  # noqa: F401

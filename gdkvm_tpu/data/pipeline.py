@@ -1,0 +1,146 @@
+"""Input pipeline: clip sampling → host batching/augmentation → device
+prefetch.
+
+Host side stays uint8 (4× less host→device bandwidth); normalization to
+float happens on device inside the jitted step (see train/loop.py).  Decode
+and augmentation run in a thread pool overlapped with device compute via a
+double-buffered prefetch queue — the TPU-native replacement for the
+reference's PyTorch DataLoader feeding 2-GPU DDP (reference:
+website/src/pages/[lang]/reprod/index.astro:238-246).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import flax.struct
+import jax
+import numpy as np
+
+from gdkvm_tpu.config.schema import DataConfig
+
+
+@flax.struct.dataclass
+class Batch:
+    """One training/eval batch.
+
+    frames: (B, T, H, W, 1) uint8.
+    masks:  (B, T, H, W) uint8 class ids.
+    valid:  (B, T) float32 — 1 where the frame has ground truth.
+    """
+    frames: jax.Array
+    masks: jax.Array
+    valid: jax.Array
+
+
+def make_dataset(cfg: DataConfig, split: str, num_classes: int):
+    """Dataset factory keyed by cfg.dataset."""
+    if cfg.dataset == "synthetic":
+        from gdkvm_tpu.data.synthetic import SyntheticDataset
+        n = 64 if split == "train" else 8
+        return SyntheticDataset(num_clips=n, clip_len=cfg.clip_len,
+                                image_size=cfg.image_size,
+                                num_classes=num_classes,
+                                seed=cfg.seed + (0 if split == "train" else 1))
+    if cfg.dataset == "camus":
+        from gdkvm_tpu.data.camus import CamusDataset
+        return CamusDataset(cfg.data_path, split=split,
+                            image_size=cfg.image_size,
+                            clip_len=cfg.clip_len, num_classes=num_classes)
+    if cfg.dataset == "echonet":
+        from gdkvm_tpu.data.echonet import EchoNetDataset
+        return EchoNetDataset(cfg.data_path, split=split,
+                              image_size=cfg.image_size,
+                              clip_len=cfg.clip_len, num_classes=num_classes,
+                              seed=cfg.seed)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def _augment(rng: np.random.Generator, frames: np.ndarray,
+             masks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cheap host-side augmentation: horizontal flip, brightness/gamma."""
+    if rng.random() < 0.5:
+        frames = frames[:, :, ::-1]
+        masks = masks[:, :, ::-1]
+    if rng.random() < 0.5:
+        gain = rng.uniform(0.8, 1.25)
+        gamma = rng.uniform(0.8, 1.25)
+        x = frames.astype(np.float32) / 255.0
+        x = np.clip(gain * np.power(x, gamma), 0, 1)
+        frames = (x * 255).astype(np.uint8)
+    return np.ascontiguousarray(frames), np.ascontiguousarray(masks)
+
+
+def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
+                   augment: bool = False, seed: int = 0,
+                   num_workers: int = 4, drop_last: bool = True,
+                   loop: bool = True) -> Iterator[Batch]:
+    """Yield host-side Batch objects forever (loop=True) or one epoch."""
+    rng = np.random.default_rng(seed)
+    pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+
+    def load(idx: int) -> tuple:
+        frames, masks, valid = dataset[idx]
+        if augment:
+            f, m = _augment(np.random.default_rng(rng.integers(2 ** 31)),
+                            frames, masks)
+            return f, m, valid
+        return frames, masks, valid
+
+    epoch = 0
+    while True:
+        order = np.arange(len(dataset))
+        if shuffle:
+            rng.shuffle(order)
+        for lo in range(0, len(order), batch_size):
+            idxs = order[lo:lo + batch_size]
+            if len(idxs) < batch_size:
+                if drop_last:
+                    continue
+            items = list(pool.map(load, idxs))
+            yield Batch(
+                frames=np.stack([it[0] for it in items]),
+                masks=np.stack([it[1] for it in items]),
+                valid=np.stack([it[2] for it in items]),
+            )
+        epoch += 1
+        if not loop:
+            break
+
+
+def prefetch_to_device(iterator: Iterator[Batch], size: int = 2,
+                       sharding: Optional[jax.sharding.Sharding] = None
+                       ) -> Iterator[Batch]:
+    """Double-buffered host→device prefetch.
+
+    A daemon thread keeps `size` batches in flight on device (optionally
+    laid out with `sharding`, e.g. batch-sharded over the ('data',) mesh
+    axis), so the host transfer of batch N+1 overlaps the device compute of
+    batch N.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = object()
+
+    def put(batch: Batch):
+        if sharding is not None:
+            dev = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        else:
+            dev = jax.tree.map(jax.device_put, batch)
+        q.put(dev)
+
+    def producer():
+        try:
+            for batch in iterator:
+                put(batch)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

@@ -85,7 +85,8 @@ class GDKVM(nn.Module):
 
     def __call__(self, frames: jax.Array,
                  state: Optional[StreamState] = None,
-                 prompt_mask: Optional[jax.Array] = None
+                 prompt_mask: Optional[jax.Array] = None,
+                 prompt_weight: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, StreamState]:
         """Forward over a clip (or a streaming chunk).
 
@@ -95,6 +96,9 @@ class GDKVM(nn.Module):
           prompt_mask: optional (B, H, W) int mask for frame 0 of this chunk;
             written into the memory state *before* any frame is processed
             (first-frame conditioning).
+          prompt_weight: optional per-batch scalar(s) in [0,1] blending the
+            prompted state with the unprompted one — lets a jitted train
+            step toggle prompting stochastically without retracing.
         Returns:
           (logits (B, T, H, W, num_classes) fp32, new StreamState).
         """
@@ -111,7 +115,13 @@ class GDKVM(nn.Module):
             onehot = jax.nn.one_hot(prompt_mask, self.cfg.num_classes,
                                     dtype=jnp.float32)
             m16 = resize_bilinear(onehot, (h16, w16))
-            mem = self.lkva.prompt_write(f16_seq[:, 0], m16, mem)
+            prompted = self.lkva.prompt_write(f16_seq[:, 0], m16, mem)
+            if prompt_weight is None:
+                mem = prompted
+            else:
+                w = jnp.reshape(prompt_weight.astype(jnp.float32),
+                                (b, 1, 1, 1))
+                mem = w * prompted + (1.0 - w) * mem
 
         readout_seq, mem = self.lkva(f16_seq, mem)   # (B,T,h16,w16,C)
 

@@ -1,0 +1,198 @@
+"""Sharded training loop.
+
+Replaces the reference's torchrun + hydra + DDP stack (reference:
+website/src/pages/[lang]/reprod/index.astro:238-264) with a single SPMD
+program: one jitted train step over a ('data','model') mesh.  The batch is
+sharded over 'data'; gradient and metric reductions are XLA collectives
+inserted automatically by GSPMD — there is no rendezvous port, no process
+group, no NCCL (SURVEY.md §2.4).
+
+Recipe parity keys (batch_size 8, lr 1e-4, 3000 iterations — reference:
+reprod/index.astro:246-252) come straight from the config tree.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gdkvm_tpu.config.schema import Config, save_config
+from gdkvm_tpu.data.pipeline import Batch, batch_iterator, make_dataset, \
+    prefetch_to_device
+from gdkvm_tpu.eval.evaluator import evaluate
+from gdkvm_tpu.io.checkpoint import CheckpointManager
+from gdkvm_tpu.io.metrics_log import MetricsLogger
+from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+from gdkvm_tpu.parallel import batch_sharding, make_mesh, param_shardings, \
+    replicated
+from gdkvm_tpu.train import losses
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def normalize_frames(frames_u8: jax.Array) -> jax.Array:
+    """uint8 → float32 in [0,1] on device (host ships uint8; 4× bandwidth)."""
+    return frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=t.learning_rate,
+        warmup_steps=max(t.warmup_iterations, 1),
+        decay_steps=max(t.num_iterations, 2),
+        end_value=t.learning_rate * 0.05)
+    return optax.chain(
+        optax.clip_by_global_norm(t.grad_clip),
+        optax.adamw(schedule, weight_decay=t.weight_decay),
+    )
+
+
+def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
+                    cfg: Config):
+    """Build the (jittable) train step: loss → grads → update → metrics."""
+    t = cfg.train
+
+    def step_fn(state: TrainState, batch: Batch
+                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, prompt_rng = jax.random.split(
+            jax.random.fold_in(state.rng, state.step))
+        frames = normalize_frames(batch.frames)
+        b = frames.shape[0]
+        # Stochastic first-frame prompting: only where frame 0 has GT.
+        use_prompt = jax.random.bernoulli(
+            prompt_rng, t.prompt_prob, (b,)).astype(jnp.float32)
+        prompt_w = use_prompt * batch.valid[:, 0]
+        prompt_mask = batch.masks[:, 0].astype(jnp.int32)
+
+        def loss_fn(params):
+            logits, _ = model.apply(params, frames, None, prompt_mask,
+                                    prompt_w)
+            loss, aux = losses.segmentation_loss(
+                logits, batch.masks.astype(jnp.int32), batch.valid,
+                ce_weight=t.ce_weight, dice_weight=t.dice_weight)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=state.rng)
+        return new_state, metrics
+
+    return step_fn
+
+
+def create_train_state(cfg: Config, model: GDKVM,
+                       tx: optax.GradientTransformation,
+                       rng: jax.Array) -> TrainState:
+    params = init_params(model, rng, cfg.data.image_size,
+                         clip_len=2, batch=1)
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state, rng=rng)
+
+
+def train(cfg: Config, *, max_steps: Optional[int] = None,
+          mesh=None) -> Dict[str, float]:
+    """Full training run.  Returns final metrics (incl. last eval Dice)."""
+    run_dir = cfg.runtime.run_dir
+    os.makedirs(run_dir, exist_ok=True)
+    save_config(cfg, os.path.join(run_dir, "config.yaml"))
+    logger = MetricsLogger(run_dir, wandb_mode=cfg.eval_stage.wandb_mode)
+
+    if mesh is None:
+        mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
+    model = GDKVM(cfg=cfg.model)
+    tx = make_optimizer(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    state = create_train_state(cfg, model, tx, rng)
+    # Lay out params/opt over the mesh (replicated unless model_axis > 1).
+    p_shard = param_shardings(mesh, state.params)
+    state = TrainState(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.device_put(state.params, p_shard),
+        opt_state=jax.device_put(
+            state.opt_state,
+            jax.tree.map(lambda _: replicated(mesh), state.opt_state,
+                         is_leaf=lambda x: isinstance(x, jnp.ndarray))),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
+
+    ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    start_step = 0
+    if cfg.runtime.resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            state = ckpt.restore(state)
+            start_step = int(jax.device_get(state.step))
+
+    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+
+    dataset = make_dataset(cfg.data, cfg.data.train_split,
+                           cfg.model.num_classes)
+    it = batch_iterator(dataset, cfg.train.batch_size, shuffle=True,
+                        augment=cfg.data.augment, seed=cfg.data.seed,
+                        num_workers=cfg.data.num_workers)
+    it = prefetch_to_device(it, size=cfg.data.prefetch,
+                            sharding=batch_sharding(mesh))
+
+    total = max_steps if max_steps is not None else cfg.train.num_iterations
+    last_eval: Dict[str, float] = {}
+    t_last = time.time()
+    steps_since = 0
+    final_metrics: Dict[str, float] = {}
+
+    with mesh:
+        for step_idx in range(start_step, total):
+            batch = next(it)
+            state, metrics = train_step(state, batch)
+            steps_since += 1
+
+            if (step_idx + 1) % cfg.train.log_every == 0 or step_idx == 0:
+                metrics = jax.device_get(metrics)
+                dt = time.time() - t_last
+                metrics["steps_per_sec"] = steps_since / max(dt, 1e-9)
+                metrics["frames_per_sec"] = (
+                    metrics["steps_per_sec"] * cfg.train.batch_size
+                    * cfg.data.clip_len)
+                logger.log(step_idx + 1, metrics)
+                final_metrics = {k: float(v) for k, v in metrics.items()}
+                t_last = time.time()
+                steps_since = 0
+
+            if (step_idx + 1) % cfg.train.eval_every == 0 or \
+                    step_idx + 1 == total:
+                last_eval = evaluate(cfg, model, state.params, mesh,
+                                     step=step_idx + 1)
+                logger.log(step_idx + 1, {f"eval/{k}": v
+                                          for k, v in last_eval.items()})
+                t_last = time.time()
+                steps_since = 0
+
+            if (step_idx + 1) % cfg.train.checkpoint_every == 0 or \
+                    step_idx + 1 == total:
+                ckpt.save(step_idx + 1, jax.device_get(state))
+
+    ckpt.wait()
+    ckpt.close()
+    logger.close()
+    final_metrics.update({f"eval/{k}": v for k, v in last_eval.items()})
+    return final_metrics
