@@ -21,15 +21,15 @@ def main() -> None:
     from gdkvm_tpu.eval.throughput import measure_streaming_fps
     from gdkvm_tpu.models.gdkvm import GDKVM, init_params
 
-    cfg = ModelConfig(num_classes=2, in_channels=1)
-    if os.environ.get("GDKVM_BENCH_PALLAS", "1") == "1":
-        try:
-            from gdkvm_tpu.ops import gdr_pallas  # noqa: F401
-            if jax.devices()[0].platform != "cpu":
-                cfg = ModelConfig(num_classes=2, in_channels=1,
-                                  gdr_impl="pallas")
-        except Exception:
-            pass
+    # Default GDR impl is the XLA chunked scan: at EchoNet scale the GDR is
+    # ~1% of model time and XLA fuses it with the surrounding projections;
+    # the Pallas kernel (GDKVM_BENCH_PALLAS=1) wins at long-T/large-state
+    # shapes but pays layout transposes here (measured: 137k vs 108k f/s).
+    impl = "pallas" if os.environ.get("GDKVM_BENCH_PALLAS") == "1" else \
+        "chunked"
+    if jax.devices()[0].platform == "cpu":
+        impl = "chunked"
+    cfg = ModelConfig(num_classes=2, in_channels=1, gdr_impl=impl)
 
     model = GDKVM(cfg=cfg)
     params = init_params(model, jax.random.PRNGKey(0), image_size=112)

@@ -1,0 +1,110 @@
+"""Pallas GDR kernel parity tests (interpret mode on CPU — SURVEY §4.2a)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdkvm_tpu.core import gdr
+from gdkvm_tpu.ops import gdr_pallas
+
+
+def _rand_bh(key, B=2, H=2, T=4, N=7, dk=16, dv=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (B, H, T, N, dk), dtype)
+    k = jax.random.normal(ks[1], (B, H, T, N, dk), dtype)
+    k = k / (jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
+                             keepdims=True) + 1e-6).astype(dtype)
+    v = jax.random.normal(ks[2], (B, H, T, N, dv), dtype)
+    beta = jax.nn.sigmoid(jax.random.normal(ks[3], (B, H, T, N))).astype(dtype)
+    alpha = jax.nn.sigmoid(jax.random.normal(ks[4], (B, H, T)) + 2.0)
+    s0 = 0.1 * jax.random.normal(ks[5], (B, H, dk, dv))
+    return q, k, v, beta, alpha, s0
+
+
+@pytest.mark.parametrize("T,N,dk,dv", [
+    (1, 8, 8, 8),        # aligned minimal
+    (4, 7, 16, 16),      # unaligned N → padding path
+    (3, 49, 32, 32),     # EchoNet-like token count (7×7)
+    (2, 16, 16, 32),     # dk != dv
+])
+def test_pallas_matches_ref(T, N, dk, dv):
+    args = _rand_bh(jax.random.PRNGKey(0), B=1, H=2, T=T, N=N, dk=dk, dv=dv)
+    o_ref, s_ref = gdr.gdr_ref_bh(*args)
+    o_pl, s_pl = gdr_pallas.gdr_pallas_bh(*args)
+    np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bf16_inputs():
+    """bf16 q/k/v/β with fp32 state: kernel must stay fp32-accurate inside
+    (loose output tolerance from bf16 input rounding only)."""
+    q, k, v, beta, alpha, s0 = _rand_bh(jax.random.PRNGKey(1), T=3, N=8)
+    o_ref, s_ref = gdr.gdr_ref_bh(q, k, v, beta, alpha, s0)
+    to16 = lambda x: x.astype(jnp.bfloat16)
+    o_pl, s_pl = gdr_pallas.gdr_pallas_bh(to16(q), to16(k), to16(v),
+                                          to16(beta), alpha, s0)
+    assert o_pl.dtype == jnp.float32 and s_pl.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_pallas_streaming_state_carry():
+    """Two pallas calls with carried state ≡ one call (VMEM-resident state
+    reloads correctly at each (bh, t=0))."""
+    q, k, v, beta, alpha, s0 = _rand_bh(jax.random.PRNGKey(2), T=6)
+    o_full, s_full = gdr_pallas.gdr_pallas_bh(q, k, v, beta, alpha, s0)
+    sl = lambda x, lo, hi: x[:, :, lo:hi]
+    o_a, s_a = gdr_pallas.gdr_pallas_bh(sl(q, 0, 2), sl(k, 0, 2),
+                                        sl(v, 0, 2), sl(beta, 0, 2),
+                                        sl(alpha, 0, 2), s0)
+    o_b, s_b = gdr_pallas.gdr_pallas_bh(sl(q, 2, 6), sl(k, 2, 6),
+                                        sl(v, 2, 6), sl(beta, 2, 6),
+                                        sl(alpha, 2, 6), s_a)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([o_a, o_b], 2)),
+                               np.asarray(o_full), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_b), np.asarray(s_full),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_grad_matches_chunked():
+    """Custom VJP (backward via chunked form) ≈ grads of the scan ref."""
+    args = _rand_bh(jax.random.PRNGKey(3), B=1, H=1, T=3, N=5, dk=8, dv=8)
+
+    def loss_pl(*a):
+        o, s = gdr_pallas.gdr_pallas_bh(*a)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    def loss_ref(*a):
+        o, s = gdr.gdr_ref_bh(*a)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_model_with_pallas_impl_matches_chunked():
+    """Full GDKVM forward with gdr_impl=pallas ≡ gdr_impl=chunked."""
+    from gdkvm_tpu.config.schema import ModelConfig
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+    kw = dict(in_channels=1, num_classes=2,
+              enc_channels=(8, 16, 24, 32), enc_blocks=(1, 1, 1, 1),
+              num_heads=2, head_dim_k=16, head_dim_v=16,
+              kpff_channels=(24, 16, 8), compute_dtype="float32")
+    m_ch = GDKVM(cfg=ModelConfig(gdr_impl="chunked", **kw))
+    m_pl = GDKVM(cfg=ModelConfig(gdr_impl="pallas", **kw))
+    params = init_params(m_ch, jax.random.PRNGKey(0), image_size=32)
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 32, 32, 1))
+    lo_ch, st_ch = m_ch.apply(params, frames)
+    lo_pl, st_pl = m_pl.apply(params, frames)
+    np.testing.assert_allclose(np.asarray(lo_pl), np.asarray(lo_ch),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_pl.mem), np.asarray(st_ch.mem),
+                               rtol=1e-4, atol=1e-4)
