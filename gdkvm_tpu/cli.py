@@ -90,20 +90,108 @@ def cmd_bench(argv) -> int:
     return 0
 
 
+def cmd_stream_eval(argv) -> int:
+    """Full-sequence streaming eval (Dice + fps) with chunked recurrence."""
+    import os
+    import jax
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.eval.streaming import stream_evaluate
+    from gdkvm_tpu.io.checkpoint import CheckpointManager
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+    from gdkvm_tpu.train.loop import create_train_state, make_optimizer
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm stream-eval")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num-videos", type=int, default=8)
+    p.add_argument("--video-len", type=int, default=128)
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+
+    model = GDKVM(cfg=cfg.model)
+    ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
+                                               "checkpoints")
+    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        state = create_train_state(cfg, model, make_optimizer(cfg),
+                                   jax.random.PRNGKey(0))
+        state = CheckpointManager(ckpt_dir).restore(jax.device_get(state))
+        params = state.params
+    else:
+        params = init_params(model, jax.random.PRNGKey(0),
+                             cfg.data.image_size)
+    out = stream_evaluate(cfg, model, params, num_videos=args.num_videos,
+                          video_len=args.video_len)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_scale(argv) -> int:
+    """Predictable-Scale calculator (reference tool-page capability)."""
+    from gdkvm_tpu.utils.scaling import optimal_bs_lr
+    p = argparse.ArgumentParser(prog="gdkvm scale")
+    p.add_argument("-N", "--model-params", required=True,
+                   help="model size, e.g. 1e8 or 3.5x10^6")
+    p.add_argument("-D", "--tokens", required=True,
+                   help="training tokens, e.g. 2e10")
+    args = p.parse_args(argv)
+    try:
+        out = optimal_bs_lr(args.model_params, args.tokens)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_pack(argv) -> int:
+    """Convert a clip dataset into the packed (PCK) decode-once format."""
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.data.packed import write_pck
+    from gdkvm_tpu.data.pipeline import make_dataset
+    import os
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm pack")
+    p.add_argument("--config", default=None)
+    p.add_argument("--out", required=True, help="output directory for "
+                   "<split>.pck files")
+    p.add_argument("--splits", default="train,val")
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+    os.makedirs(args.out, exist_ok=True)
+    written = {}
+    for split in args.splits.split(","):
+        ds = make_dataset(cfg.data, split, cfg.model.num_classes)
+        path = os.path.join(args.out, f"{split}.pck")
+        write_pck(path, ds)
+        written[split] = {"path": path, "clips": len(ds),
+                          "bytes": os.path.getsize(path)}
+    print(json.dumps(written))
+    return 0
+
+
+_COMMANDS = {
+    "train": cmd_train,
+    "eval": cmd_eval,
+    "bench": cmd_bench,
+    "stream-eval": cmd_stream_eval,
+    "scale": cmd_scale,
+    "pack": cmd_pack,
+}
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: python -m gdkvm_tpu {train|eval|bench} "
-              "[--config cfg.yaml] [key=value ...]")
+        print("usage: python -m gdkvm_tpu "
+              f"{{{'|'.join(_COMMANDS)}}} [--config cfg.yaml] "
+              "[key=value ...]")
         return 0 if argv else 2
     cmd, rest = argv[0], argv[1:]
-    if cmd == "train":
-        return cmd_train(rest)
-    if cmd == "eval":
-        return cmd_eval(rest)
-    if cmd == "bench":
-        return cmd_bench(rest)
-    print(f"unknown command {cmd!r}; expected train|eval|bench",
+    if cmd in _COMMANDS:
+        return _COMMANDS[cmd](rest)
+    print(f"unknown command {cmd!r}; expected {'|'.join(_COMMANDS)}",
           file=sys.stderr)
     return 2
 

@@ -126,12 +126,54 @@ def _wy_transform(k: jax.Array, v: jax.Array, beta: jax.Array
 
     kb = k * beta[:, None]                       # diag(β) K
     a = jnp.tril(_mm(kb, k.T), k=-1)                 # strict lower
-    eye = jnp.eye(n, dtype=jnp.float32)
-    # T = (I + A)^{-1}: unit-lower-triangular solve against [diag(β)V | diag(β)K]
     rhs = jnp.concatenate([v * beta[:, None], kb], axis=1)
-    uw = jax.scipy.linalg.solve_triangular(eye + a, rhs, lower=True,
-                                           unit_diagonal=True)
+    uw = _solve_unit_lower(a, rhs)
     return uw[:, : v.shape[1]], uw[:, v.shape[1]:]
+
+
+# Diagonal-block size for the blocked substitution.  Within a block the
+# inverse is an exact nilpotent series; its intermediate growth is bounded
+# by C(15,7)·max|A|^k ≈ 6e3 — safe in fp32.  A full-size series is NOT: at
+# N=256 with correlated keys it overflows (measured err 3e17/NaN), which is
+# why the solve is blocked.
+_BLOCK = 16
+
+
+def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
+    """X = (I + A)^{-1} RHS for strictly-lower-triangular A (fp32).
+
+    Blocked forward substitution: exact series inverse on ≤16×16 diagonal
+    blocks, matmul elimination below — numerically stable at any N (unlike
+    a whole-matrix nilpotent series) and MXU-friendly (no triangular_solve
+    HLO, which compiles poorly on TPU).  Shapes: a (N,N), rhs (N,M).
+    """
+    n = a.shape[0]
+    bs = min(_BLOCK, n)
+    if n % bs:
+        pad = bs - n % bs
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
+    nb = a.shape[0] // bs
+    eye = jnp.eye(bs, dtype=jnp.float32)
+
+    def inv_diag(a_ii):
+        # (I + a_ii)^{-1}, a_ii strictly lower bs×bs: series doubling.
+        b_pow = -a_ii
+        p = eye + b_pow
+        for _ in range(max(int(bs - 1).bit_length() - 1, 0)):
+            b_pow = _mm(b_pow, b_pow)
+            p = p + _mm(b_pow, p)
+        return p
+
+    blocks = []
+    for i in range(nb):
+        r_i = rhs[i * bs:(i + 1) * bs]
+        if i:
+            x_prev = jnp.concatenate(blocks, axis=0)
+            r_i = r_i - _mm(a[i * bs:(i + 1) * bs, : i * bs], x_prev)
+        a_ii = jnp.tril(a[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs], k=-1)
+        blocks.append(_mm(inv_diag(a_ii), r_i))
+    return jnp.concatenate(blocks, axis=0)[:n]
 
 
 def gdr_frame_chunked(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,

@@ -11,6 +11,7 @@ website/src/pages/[lang]/reprod/index.astro:238-246).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -56,6 +57,10 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int):
                               image_size=cfg.image_size,
                               clip_len=cfg.clip_len, num_classes=num_classes,
                               seed=cfg.seed)
+    if cfg.dataset == "packed":
+        from gdkvm_tpu.data.packed import PackedDataset
+        return PackedDataset(os.path.join(cfg.data_path, f"{split}.pck"),
+                             num_workers=cfg.num_workers)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 
@@ -90,6 +95,10 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
             return f, m, valid
         return frames, masks, valid
 
+    # Fast path: PCK datasets gather a whole batch in one native call
+    # (thread-pool memcpy + flip, no GIL) — see gdkvm_tpu/data/packed.py.
+    has_gather = hasattr(dataset, "gather")
+
     epoch = 0
     while True:
         order = np.arange(len(dataset))
@@ -100,6 +109,12 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
             if len(idxs) < batch_size:
                 if drop_last:
                     continue
+            if has_gather:
+                flips = (rng.random(len(idxs)) < 0.5).astype(np.uint8) \
+                    if augment else None
+                frames, masks, valid = dataset.gather(idxs, flips)
+                yield Batch(frames=frames, masks=masks, valid=valid)
+                continue
             items = list(pool.map(load, idxs))
             yield Batch(
                 frames=np.stack([it[0] for it in items]),

@@ -53,6 +53,70 @@ class StreamingSegmenter:
         return logits[0, :t]
 
 
+def stream_evaluate(cfg, model: GDKVM, params,
+                    num_videos: int = 8, video_len: int = 128):
+    """Full-sequence streaming eval: per-video chunked recurrence, Dice on
+    valid frames, end-to-end frames/sec (BASELINE configs[1]/[3]).
+
+    Videos come from the configured dataset when it exposes full videos
+    (EchoNet `decode_video`), else from the synthetic generator.
+    """
+    import time as _time
+    from gdkvm_tpu.data import synthetic as _synth
+    from gdkvm_tpu.eval import metrics as M
+
+    k = cfg.model.num_classes
+    chunk = cfg.eval_stage.stream_chunk
+    videos = []
+    if cfg.data.dataset == "echonet":
+        from gdkvm_tpu.data.echonet import EchoNetDataset
+        ds = EchoNetDataset(cfg.data.data_path, cfg.data.val_split,
+                            image_size=cfg.data.image_size,
+                            clip_len=cfg.data.clip_len, num_classes=k)
+        for i in range(min(num_videos, len(ds))):
+            name = ds.videos[i]
+            vid = ds.decode_video(name)
+            masks = np.zeros(vid.shape[:3], np.uint8)
+            valid = np.zeros((vid.shape[0],), np.float32)
+            for t in range(vid.shape[0]):
+                m = ds.mask_for(name, t, vid.shape[1:3])
+                if m is not None:
+                    masks[t] = m
+                    valid[t] = 1.0
+            videos.append((vid, masks, valid))
+    else:
+        for i in range(num_videos):
+            f, m = _synth.generate_video(1000 + i, video_len,
+                                         cfg.data.image_size,
+                                         cfg.data.image_size, k)
+            videos.append((f, m, np.ones((video_len,), np.float32)))
+
+    acc = None
+    frames_done = 0
+    t0 = _time.perf_counter()
+    for vid, masks, valid in videos:
+        pred = stream_video(model, params, vid, chunk=chunk)
+        frames_done += vid.shape[0]
+        # Hard-mask Dice directly (predictions are already argmaxed).
+        p1 = jax.nn.one_hot(jnp.asarray(pred), k, dtype=jnp.float32)
+        l1 = jax.nn.one_hot(jnp.asarray(masks.astype(np.int32)), k,
+                            dtype=jnp.float32)
+        v = jnp.asarray(valid)[:, None, None, None]
+        part = {
+            "inter": jnp.sum(p1 * l1 * v, axis=(0, 1, 2)),
+            "psum": jnp.sum(p1 * v, axis=(0, 1, 2)),
+            "lsum": jnp.sum(l1 * v, axis=(0, 1, 2)),
+            "frames": jnp.sum(valid),
+        }
+        part = jax.device_get(part)
+        acc = part if acc is None else M.dice_merge(acc, part)
+    elapsed = _time.perf_counter() - t0
+    out = M.dice_finalize(acc) if acc else {}
+    out["stream_frames_per_sec"] = frames_done / max(elapsed, 1e-9)
+    out["videos"] = float(len(videos))
+    return out
+
+
 def stream_video(model: GDKVM, params, video_u8: np.ndarray,
                  chunk: int = 16,
                  prompt_mask: Optional[np.ndarray] = None

@@ -13,11 +13,12 @@ through HBM between frames.  Per grid step (one frame):
     U  = T' diag(β) V ;  W = T' diag(β) K
     S ← S̃ + Kᵀ (U − W S̃)                       (N delta-rule writes, fused)
 
-All matmuls hit the MXU; the forward substitution is a fori_loop of N row
-updates (VPU).  I/O may be bf16; internal math is fp32 (preferred_element_type
-everywhere).  Parity vs the lax.scan ground truth (gdkvm_tpu/core/gdr.py) is
-tested at every shape in tests/test_gdr_pallas.py, including interpret mode
-on CPU.
+All matmuls hit the MXU; T' is applied by blocked forward substitution
+(exact series inverses on 16×16 diagonal blocks — numerically safe at any
+N, unlike a whole-matrix nilpotent series — with matmul elimination below).
+I/O may be bf16; internal math is fp32 at HIGHEST matmul precision.  Parity
+vs the lax.scan ground truth (gdkvm_tpu/core/gdr.py) is tested at every
+shape in tests/test_gdr_pallas.py, including interpret mode on CPU.
 
 The backward pass is a custom VJP that recomputes through the pure-JAX
 chunkwise form (differentiable, same math — parity-tested), so the Pallas
@@ -97,20 +98,34 @@ def _gdr_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, s0_ref,
     a = _bdot(kb, k.transpose(0, 2, 1))
     a = jnp.where((row > col)[None], a, 0.0)   # strictly lower triangular
 
-    # T' = (I + A)^{-1} exactly, via nilpotent series doubling: A is
-    # strictly lower triangular so A^N = 0 and Σ_{k<2^{j+1}}(-A)^k is built
-    # by P ← P + B P, B ← B² (log2(N) steps, all MXU matmuls — no
-    # sequential row substitution).
-    eye = jnp.where(row == col, 1.0, 0.0)[None]
-    b_pow = -a
-    p = eye + b_pow                         # covers k < 2
-    steps = max(int(n - 1).bit_length() - 1, 0)
-    for _ in range(steps):
-        b_pow = _bdot(b_pow, b_pow)
-        p = p + _bdot(b_pow, p)
-
+    # X = (I + A)^{-1} [diag(β)V | diag(β)K] by blocked forward
+    # substitution: exact nilpotent-series inverses on ≤16×16 diagonal
+    # blocks (growth-bounded, fp32-safe at any N — a whole-matrix series
+    # overflows at N=256 with correlated keys), matmul elimination below.
+    # Mirrors core.gdr._solve_unit_lower; all ops MXU, no dynamic slices.
     rhs = jnp.concatenate([v * beta, kb], axis=2)       # (H, N, dv+dk)
-    uw = _bdot(p, rhs)
+    bs = min(16, n)                         # n is padded to a multiple of bs
+    eye_b = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1), 1.0, 0.0)[None]
+
+    def inv_diag(a_ii):
+        b_pow = -a_ii
+        p = eye_b + b_pow
+        for _ in range(max(int(bs - 1).bit_length() - 1, 0)):
+            b_pow = _bdot(b_pow, b_pow)
+            p = p + _bdot(b_pow, p)
+        return p
+
+    blocks = []
+    for i in range(n // bs):
+        r_i = rhs[:, i * bs:(i + 1) * bs]
+        if i:
+            x_prev = jnp.concatenate(blocks, axis=1)
+            r_i = r_i - _bdot(a[:, i * bs:(i + 1) * bs, : i * bs], x_prev)
+        a_ii = a[:, i * bs:(i + 1) * bs, i * bs:(i + 1) * bs]
+        blocks.append(_bdot(inv_diag(a_ii), r_i))
+    uw = jnp.concatenate(blocks, axis=1)
     u = uw[:, :, : v.shape[2]]
     w = uw[:, :, v.shape[2]:]
 
@@ -192,7 +207,8 @@ def gdr_pallas_bh(q, k, v, beta, alpha, s0):
 def _gdr_pallas_fwd_impl(q, k, v, beta, alpha, s0):
     b, h, t, n, dk = q.shape
     dv = v.shape[-1]
-    n_pad = max(_round_up(n, 8), 8)
+    # Pad tokens to a multiple of the 16-wide substitution block.
+    n_pad = max(_round_up(n, 16), 16)
 
     # (B,H,T,N,d) → (B,T,H,N,d); pad tokens with β=0 (exact no-op writes).
     tr = lambda x: jnp.swapaxes(x, 1, 2)

@@ -33,6 +33,8 @@ from gdkvm_tpu.models.gdkvm import GDKVM, init_params
 from gdkvm_tpu.parallel import batch_sharding, make_mesh, param_shardings, \
     replicated
 from gdkvm_tpu.train import losses
+from gdkvm_tpu.utils.profiling import StepTimer, maybe_profile, \
+    trace_annotation
 
 
 @flax.struct.dataclass
@@ -50,10 +52,12 @@ def normalize_frames(frames_u8: jax.Array) -> jax.Array:
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
+    warmup = max(min(t.warmup_iterations, t.num_iterations // 2), 1)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=t.learning_rate,
-        warmup_steps=max(t.warmup_iterations, 1),
-        decay_steps=max(t.num_iterations, 2),
+        warmup_steps=warmup,
+        # optax requires decay_steps > warmup_steps (total, not post-warmup).
+        decay_steps=max(t.num_iterations, warmup + 1),
         end_value=t.learning_rate * 0.05)
     return optax.chain(
         optax.clip_by_global_norm(t.grad_clip),
@@ -65,6 +69,14 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
                     cfg: Config):
     """Build the (jittable) train step: loss → grads → update → metrics."""
     t = cfg.train
+
+    def fwd(params, frames, prompt_mask, prompt_w):
+        return model.apply(params, frames, None, prompt_mask, prompt_w)
+
+    if t.remat:
+        # Rematerialize activations during backward: trades FLOPs for HBM
+        # (long clips / large batches — SURVEY.md §0 HBM-bandwidth note).
+        fwd = jax.checkpoint(fwd)
 
     def step_fn(state: TrainState, batch: Batch
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -79,8 +91,7 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
         prompt_mask = batch.masks[:, 0].astype(jnp.int32)
 
         def loss_fn(params):
-            logits, _ = model.apply(params, frames, None, prompt_mask,
-                                    prompt_w)
+            logits, _ = fwd(params, frames, prompt_mask, prompt_w)
             loss, aux = losses.segmentation_loss(
                 logits, batch.masks.astype(jnp.int32), batch.valid,
                 ce_weight=t.ce_weight, dice_weight=t.dice_weight)
@@ -156,40 +167,41 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
 
     total = max_steps if max_steps is not None else cfg.train.num_iterations
     last_eval: Dict[str, float] = {}
-    t_last = time.time()
-    steps_since = 0
     final_metrics: Dict[str, float] = {}
+    timer = StepTimer(skip=1)           # exclude the compile step
+    trace_dir = os.path.join(run_dir, "trace") if cfg.runtime.profile \
+        else None
 
-    with mesh:
+    with mesh, maybe_profile(trace_dir):
         for step_idx in range(start_step, total):
             batch = next(it)
-            state, metrics = train_step(state, batch)
-            steps_since += 1
+            with trace_annotation("train_step"):
+                state, metrics = train_step(state, batch)
+            timer.lap(metrics["loss"])
 
             if (step_idx + 1) % cfg.train.log_every == 0 or step_idx == 0:
                 metrics = jax.device_get(metrics)
-                dt = time.time() - t_last
-                metrics["steps_per_sec"] = steps_since / max(dt, 1e-9)
+                metrics.update(timer.stats())
                 metrics["frames_per_sec"] = (
                     metrics["steps_per_sec"] * cfg.train.batch_size
                     * cfg.data.clip_len)
                 logger.log(step_idx + 1, metrics)
                 final_metrics = {k: float(v) for k, v in metrics.items()}
-                t_last = time.time()
-                steps_since = 0
+                timer.reset_window()
 
             if (step_idx + 1) % cfg.train.eval_every == 0 or \
                     step_idx + 1 == total:
-                last_eval = evaluate(cfg, model, state.params, mesh,
-                                     step=step_idx + 1)
+                with trace_annotation("eval_stage"):
+                    last_eval = evaluate(cfg, model, state.params, mesh,
+                                         step=step_idx + 1)
                 logger.log(step_idx + 1, {f"eval/{k}": v
                                           for k, v in last_eval.items()})
-                t_last = time.time()
-                steps_since = 0
+                timer.reset_window()
 
             if (step_idx + 1) % cfg.train.checkpoint_every == 0 or \
                     step_idx + 1 == total:
                 ckpt.save(step_idx + 1, jax.device_get(state))
+                timer.reset_window()
 
     ckpt.wait()
     ckpt.close()

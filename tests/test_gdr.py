@@ -83,6 +83,31 @@ def test_chunked_matches_ref(T, N, dk, dv):
     np.testing.assert_allclose(s_ch, s_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_chunked_stable_with_correlated_keys_large_n():
+    """Regression: N=256 tokens with highly correlated keys (the realistic
+    at-init regime at 256×256 input).  A whole-matrix nilpotent-series
+    inverse overflows here (measured 3e17/NaN — caused NaN training); the
+    blocked solve must stay finite and match the scan reference."""
+    rng = np.random.default_rng(0)
+    N, dk, dv = 256, 32, 32
+    base = rng.standard_normal(dk)
+    k = base[None, :] + 0.1 * rng.standard_normal((N, dk))
+    k = k / np.linalg.norm(k, axis=1, keepdims=True)
+    q = rng.standard_normal((1, N, dk)).astype(np.float32)
+    k = k[None].astype(np.float32)
+    v = rng.standard_normal((1, N, dv)).astype(np.float32)
+    beta = np.full((1, N), 0.9, np.float32)      # strong writes
+    alpha = np.ones((1,), np.float32)
+    s0 = 0.1 * rng.standard_normal((dk, dv)).astype(np.float32)
+    o_ref, s_ref = gdr.gdr_ref(q, k, v, beta, alpha, s0)
+    o_ch, s_ch = gdr.gdr_chunked(q, k, v, beta, alpha, s0)
+    assert np.isfinite(np.asarray(o_ch)).all()
+    np.testing.assert_allclose(np.asarray(s_ch), np.asarray(s_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(o_ch), np.asarray(o_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_streaming_equals_batched_core():
     """Carrying state across two calls ≡ one call over the concatenation."""
     q, k, v, beta, alpha, s0 = _rand(jax.random.PRNGKey(3), T=6)
