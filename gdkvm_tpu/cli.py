@@ -23,11 +23,13 @@ def _split_args(argv):
 
 def cmd_train(argv) -> int:
     from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.parallel.distributed import maybe_initialize_distributed
     from gdkvm_tpu.train.loop import train
     flags, overrides = _split_args(argv)
     p = argparse.ArgumentParser(prog="gdkvm train")
     p.add_argument("--config", default=None, help="YAML config path")
     args = p.parse_args(flags)
+    maybe_initialize_distributed()      # no-op unless a pod env is set
     cfg = load_config(args.config, overrides)
     metrics = train(cfg)
     print(json.dumps({"final": metrics}))
@@ -61,7 +63,8 @@ def cmd_eval(argv) -> int:
                                                "checkpoints")
     ckpt = CheckpointManager(ckpt_dir)
     state = ckpt.restore(jax.device_get(state))
-    metrics = evaluate(cfg, model, state.params, mesh, step=int(state.step))
+    params = jax.device_put(state.params)   # pin restored host tree once
+    metrics = evaluate(cfg, model, params, mesh, step=int(state.step))
     print(json.dumps(metrics))
     return 0
 
@@ -116,7 +119,9 @@ def cmd_stream_eval(argv) -> int:
         state = create_train_state(cfg, model, make_optimizer(cfg),
                                    jax.random.PRNGKey(0))
         state = CheckpointManager(ckpt_dir).restore(jax.device_get(state))
-        params = state.params
+        # Restored trees are host numpy: pin to device once, or every
+        # dispatch re-transfers the whole param tree.
+        params = jax.device_put(state.params)
     else:
         params = init_params(model, jax.random.PRNGKey(0),
                              cfg.data.image_size)

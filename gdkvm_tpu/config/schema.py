@@ -33,7 +33,9 @@ class ModelConfig:
     mem_stride: int = 16               # scale at which memory tokens live
     # KPFF fusion + decoder.
     kpff_channels: Tuple[int, ...] = (96, 64, 48)   # strides 16, 8, 4
-    mask_conditioned_values: bool = True
+    # Mask conditioning is done by writing the prompted frame into the
+    # initial memory state (models/lkva.py prompt_write) — a TPU-first
+    # design that keeps the recurrence scan-parallel (PARITY.md §2.2).
     # Numerics.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -98,6 +100,8 @@ class RuntimeConfig:
     resume: bool = False
     jit_cache_dir: str = ""
     profile: bool = False
+    # Sanitizer tier (SURVEY §5): raise on the first NaN-producing op.
+    debug_nans: bool = False
 
 
 @dataclass

@@ -19,6 +19,84 @@ import numpy as np
 from gdkvm_tpu.models.gdkvm import GDKVM, StreamState
 
 
+_APPLY_CACHE: dict = {}
+
+
+def _jitted_apply(model: GDKVM, donate_state: bool):
+    """Shared jitted apply per model architecture.
+
+    Keyed on the config repr (ModelConfig is a mutable dataclass, not
+    hashable) so every segmenter / stream_video call over the same
+    architecture reuses ONE compiled executable — a fresh jax.jit per
+    video recompiles each time (measured: 2 frames/sec instead of
+    thousands).
+    """
+    key = (repr(model.cfg), donate_state)
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(model.apply,
+                     donate_argnums=(2,) if donate_state else ())
+        _APPLY_CACHE[key] = fn
+    return fn
+
+
+def _jitted_mask_step(model: GDKVM):
+    """Jitted chunk step: uint8 frames + state → uint8 argmax masks + state.
+
+    Everything (normalize, forward, argmax) lives inside ONE jit: eager ops
+    between chunks are catastrophically slow on remote-dispatch platforms
+    (measured ~70 s per eager argmax through the dev tunnel) and forbidden
+    in the hot path.
+    """
+    key = (repr(model.cfg), "mask_step")
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        def step(params, frames_u8, state):
+            # frames_u8: (chunk,H,W,1) → masks (chunk,H,W) u8.  Batch dim
+            # added/removed INSIDE the jit: even an eager [0] indexing of a
+            # device array costs a full remote compile per call out here.
+            x = frames_u8[None].astype(jnp.float32) / 255.0
+            logits, state = model.apply(params, x, state)
+            return jnp.argmax(logits[0], axis=-1).astype(jnp.uint8), state
+        fn = jax.jit(step, donate_argnums=(2,))
+        _APPLY_CACHE[key] = fn
+    return fn
+
+
+def _jitted_prompt_step(model: GDKVM):
+    """Jitted first-chunk step with a frame-0 mask prompt."""
+    key = (repr(model.cfg), "prompt_step")
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        def step(params, frames_u8, prompt_mask):
+            x = frames_u8[None].astype(jnp.float32) / 255.0
+            logits, state = model.apply(params, x, None, prompt_mask[None])
+            return jnp.argmax(logits[0], axis=-1).astype(jnp.uint8), state
+        fn = jax.jit(step)
+        _APPLY_CACHE[key] = fn
+    return fn
+
+
+def _jitted_dice_part(num_classes: int):
+    """Jitted per-chunk hard-Dice partial sums (fixed chunk shapes)."""
+    key = ("dice_part", num_classes)
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        def part(pred, labels, valid):
+            p1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+            l1 = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+            v = valid[:, None, None, None]
+            return {
+                "inter": jnp.sum(p1 * l1 * v, axis=(0, 1, 2)),
+                "psum": jnp.sum(p1 * v, axis=(0, 1, 2)),
+                "lsum": jnp.sum(l1 * v, axis=(0, 1, 2)),
+                "frames": jnp.sum(valid),
+            }
+        fn = jax.jit(part)
+        _APPLY_CACHE[key] = fn
+    return fn
+
+
 class StreamingSegmenter:
     """Stateful wrapper: feed chunks of frames, get per-frame masks."""
 
@@ -29,10 +107,7 @@ class StreamingSegmenter:
         self.chunk = chunk
         # Donating the carried state lets XLA reuse its buffer in place
         # (aliasing audit: SURVEY.md §5 race detection / sanitizers).
-        self._apply = jax.jit(
-            functools.partial(model.apply),
-            donate_argnums=(2,) if donate_state else (),
-        )
+        self._apply = _jitted_apply(model, donate_state)
         self.state: Optional[StreamState] = None
 
     def reset(self, batch: int = 1) -> None:
@@ -91,26 +166,41 @@ def stream_evaluate(cfg, model: GDKVM, params,
                                          cfg.data.image_size, k)
             videos.append((f, m, np.ones((video_len,), np.float32)))
 
+    step = _jitted_mask_step(model)
+    dice_part = _jitted_dice_part(k)
+
+    def run_video(vid, gt, valid):
+        """One video: jitted chunk steps + jitted per-chunk dice parts —
+        fully async; zero eager ops (each costs ~70 s on remote-dispatch
+        platforms)."""
+        chunks = _chunk_video(vid, chunk)
+        gt_chunks = _chunk_video(gt[..., None], chunk)
+        v_pad = np.zeros((len(chunks) * chunk,), np.float32)
+        v_pad[: valid.shape[0]] = valid
+        state = None
+        parts = []
+        for i, c in enumerate(chunks):
+            masks, state = step(params, c, state)
+            parts.append(dice_part(
+                masks, gt_chunks[i][..., 0].astype(np.int32),
+                v_pad[i * chunk:(i + 1) * chunk]))
+        return parts
+
+    # Warm the jit cache (compile excluded from throughput, like bench.py).
+    if videos:
+        jax.block_until_ready(run_video(*videos[0]))
+
     acc = None
     frames_done = 0
+    parts = []
     t0 = _time.perf_counter()
-    for vid, masks, valid in videos:
-        pred = stream_video(model, params, vid, chunk=chunk)
+    for vid, gt, valid in videos:
+        parts.extend(run_video(vid, gt, valid))
         frames_done += vid.shape[0]
-        # Hard-mask Dice directly (predictions are already argmaxed).
-        p1 = jax.nn.one_hot(jnp.asarray(pred), k, dtype=jnp.float32)
-        l1 = jax.nn.one_hot(jnp.asarray(masks.astype(np.int32)), k,
-                            dtype=jnp.float32)
-        v = jnp.asarray(valid)[:, None, None, None]
-        part = {
-            "inter": jnp.sum(p1 * l1 * v, axis=(0, 1, 2)),
-            "psum": jnp.sum(p1 * v, axis=(0, 1, 2)),
-            "lsum": jnp.sum(l1 * v, axis=(0, 1, 2)),
-            "frames": jnp.sum(valid),
-        }
-        part = jax.device_get(part)
-        acc = part if acc is None else M.dice_merge(acc, part)
+    jax.block_until_ready(parts)
     elapsed = _time.perf_counter() - t0
+    for part in jax.device_get(parts):
+        acc = part if acc is None else M.dice_merge(acc, part)
     out = M.dice_finalize(acc) if acc else {}
     out["stream_frames_per_sec"] = frames_done / max(elapsed, 1e-9)
     out["videos"] = float(len(videos))
@@ -119,32 +209,44 @@ def stream_evaluate(cfg, model: GDKVM, params,
 
 def stream_video(model: GDKVM, params, video_u8: np.ndarray,
                  chunk: int = 16,
-                 prompt_mask: Optional[np.ndarray] = None
-                 ) -> np.ndarray:
+                 prompt_mask: Optional[np.ndarray] = None) -> np.ndarray:
     """Segment a full video (T,H,W,1) by chunked streaming; returns (T,H,W)
-    argmax masks.  Padding note: T is padded up to a multiple of `chunk`
-    with repeated last frames; padded outputs are discarded, and because the
-    recurrence is causal the valid prefix is unaffected."""
-    seg = StreamingSegmenter(model, params, chunk=chunk)
+    uint8 argmax masks.  All math (normalize → forward → argmax) runs in
+    one jitted chunk step; chunk dispatches pipeline asynchronously and the
+    host syncs once at the end.  Padding note: T is padded up to a multiple
+    of `chunk`; padded outputs are discarded, and because the recurrence is
+    causal the valid prefix is unaffected."""
     t_total = video_u8.shape[0]
+    chunks = _chunk_video(video_u8, chunk)
+    step = _jitted_mask_step(model)
+    state = None
     outs = []
     if prompt_mask is not None:
-        # Prompt with frame 0 inside the first chunk call.
-        frames = jnp.asarray(video_u8[:chunk])
-        pad = chunk - frames.shape[0]
-        if pad > 0:
-            frames = jnp.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)),
-                             mode="edge")
-        x = frames[None].astype(jnp.float32) / 255.0
-        logits, seg.state = jax.jit(model.apply)(
-            params, x, None, jnp.asarray(prompt_mask)[None])
-        outs.append(np.asarray(jnp.argmax(logits[0, :min(chunk, t_total)],
-                                          axis=-1)))
-        start = chunk
+        # Prompt with frame 0 inside the first chunk call (write-then-read
+        # through the full apply, argmax inside the jit).
+        masks, state = _jitted_prompt_step(model)(
+            params, chunks[0], np.asarray(prompt_mask, np.int32))
+        outs.append(masks)
+        rest = chunks[1:]
     else:
-        start = 0
-    for lo in range(start, t_total, chunk):
-        hi = min(lo + chunk, t_total)
-        logits = seg.feed(video_u8[lo:hi])
-        outs.append(np.asarray(jnp.argmax(logits, axis=-1)))
-    return np.concatenate(outs, axis=0)[:t_total]
+        rest = chunks
+    for c in rest:
+        masks, state = step(params, c, state)
+        outs.append(masks)
+    # np.asarray on a device array is a transfer (fast), not an eager op.
+    host = [np.asarray(o) for o in outs]
+    return np.concatenate(host, axis=0)[:t_total]
+
+
+def _chunk_video(video_u8: np.ndarray, chunk: int) -> list:
+    """Split (T,H,W,1) into fixed-size chunks, edge-padding the tail."""
+    t_total = video_u8.shape[0]
+    out = []
+    for lo in range(0, t_total, chunk):
+        piece = video_u8[lo:lo + chunk]
+        if piece.shape[0] < chunk:
+            pad = chunk - piece.shape[0]
+            piece = np.concatenate(
+                [piece, np.repeat(piece[-1:], pad, axis=0)], axis=0)
+        out.append(piece)
+    return out

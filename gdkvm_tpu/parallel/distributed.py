@@ -1,0 +1,58 @@
+"""Multi-host SPMD initialization.
+
+The reference's distributed story is a single-node 2-GPU DDP launch with a
+rendezvous port (reference: website/src/pages/[lang]/reprod/index.astro:
+238-239).  The TPU-native multi-host story is jax.distributed: one process
+per host, same SPMD program, the mesh spans every host's chips.  On Cloud
+TPU pods ``jax.distributed.initialize()`` auto-discovers everything; off
+the beaten path the standard env vars are honored.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_initialized = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed when a multi-process env is detected.
+
+    Triggers on GDKVM_COORDINATOR (host:port) + GDKVM_NUM_PROCESSES +
+    GDKVM_PROCESS_ID, or on a TPU-pod environment where
+    jax.distributed.initialize() can auto-configure.  No-op (False) for
+    single-process runs — the common case on one chip/slice.
+    """
+    global _initialized
+    if _initialized:
+        return True
+    coord = os.environ.get("GDKVM_COORDINATOR")
+    nproc = os.environ.get("GDKVM_NUM_PROCESSES")
+    pid = os.environ.get("GDKVM_PROCESS_ID")
+    try:
+        if coord and nproc and pid:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+            _initialized = True
+        elif os.environ.get("GDKVM_AUTO_DISTRIBUTED") == "1":
+            jax.distributed.initialize()
+            _initialized = True
+    except Exception as exc:   # pragma: no cover - depends on cluster env
+        raise RuntimeError(
+            f"jax.distributed initialization failed: {exc}") from exc
+    return _initialized
+
+
+def process_info() -> dict:
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }

@@ -123,6 +123,11 @@ def create_train_state(cfg: Config, model: GDKVM,
 def train(cfg: Config, *, max_steps: Optional[int] = None,
           mesh=None) -> Dict[str, float]:
     """Full training run.  Returns final metrics (incl. last eval Dice)."""
+    if cfg.runtime.debug_nans:
+        # Sanitizer mode: fail loudly at the first NaN-producing op
+        # (SURVEY §5 race-detection/sanitizer tier).  Slower; debug only.
+        jax.config.update("jax_debug_nans", True)
+
     run_dir = cfg.runtime.run_dir
     os.makedirs(run_dir, exist_ok=True)
     save_config(cfg, os.path.join(run_dir, "config.yaml"))

@@ -26,7 +26,7 @@ def test_stream_video_shapes(tiny_model):
         0, 255, (37, 32, 32, 1), np.uint8)     # not a multiple of chunk
     masks = stream_video(model, params, video, chunk=8)
     assert masks.shape == (37, 32, 32)
-    assert masks.dtype in (np.int32, np.int64)
+    assert masks.dtype == np.uint8
 
 
 def test_stream_video_matches_batched(tiny_model):
