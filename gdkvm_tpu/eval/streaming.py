@@ -188,7 +188,7 @@ def stream_evaluate(cfg, model: GDKVM, params,
 
     # Warm the jit cache (compile excluded from throughput, like bench.py).
     if videos:
-        jax.block_until_ready(run_video(*videos[0]))
+        jax.device_get(run_video(*videos[0]))
 
     acc = None
     frames_done = 0
@@ -197,9 +197,11 @@ def stream_evaluate(cfg, model: GDKVM, params,
     for vid, gt, valid in videos:
         parts.extend(run_video(vid, gt, valid))
         frames_done += vid.shape[0]
-    jax.block_until_ready(parts)
+    # device_get forces real execution (block_until_ready can return at
+    # dispatch-ack on remote platforms — see eval/throughput.py).
+    parts = jax.device_get(parts)
     elapsed = _time.perf_counter() - t0
-    for part in jax.device_get(parts):
+    for part in parts:
         acc = part if acc is None else M.dice_merge(acc, part)
     out = M.dice_finalize(acc) if acc else {}
     out["stream_frames_per_sec"] = frames_done / max(elapsed, 1e-9)

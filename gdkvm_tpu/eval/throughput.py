@@ -2,9 +2,19 @@
 
 The headline benchmark (/root/repo/BASELINE.json): ≥2000 frames/sec/chip
 streaming LV segmentation on EchoNet-Dynamic-shaped input (112×112) on one
-TPU v5e chip.  Methodology: jit-compiled chunked streaming step, warmup
-(compile excluded), timed over enough frames to amortize dispatch, device
-sync via block_until_ready.
+TPU v5e chip.
+
+Methodology notes (hard-won on the dev tunnel):
+- jit-compiled chunked streaming step; warmup excluded.
+- **Execution must be forced by fetching data.**  On remote-dispatch PJRT
+  platforms ``block_until_ready`` can return at dispatch-ack, long before
+  the device finished — timings based on it overstated throughput by >20×
+  here.  The step therefore returns a scalar checksum of the masks, and
+  the timer ends on a host fetch of the LAST chunk's checksum: the carried
+  state chains every chunk sequentially, so that 4-byte fetch transitively
+  forces the whole run.
+- A physical-plausibility cross-check (apparent FLOP/s vs chip peak) is
+  reported so harness artifacts are visible in the output.
 """
 
 from __future__ import annotations
@@ -17,6 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gdkvm_tpu.models.gdkvm import GDKVM
+
+# bf16 peak of one TPU v5e chip — plausibility ceiling for apparent FLOP/s.
+_V5E_PEAK_TFLOPS = 197.0
 
 
 def measure_streaming_fps(model: GDKVM, params, *, image_size: int = 112,
@@ -32,31 +45,46 @@ def measure_streaming_fps(model: GDKVM, params, *, image_size: int = 112,
     frames = jnp.asarray(rng.integers(
         0, 255, (batch, chunk, image_size, image_size, 1), np.uint8))
 
-    @jax.jit
-    def step(params, frames_u8, state):
+    def step_fn(params, frames_u8, state):
         x = frames_u8.astype(jnp.float32) / 255.0
         logits, new_state = model.apply(params, x, state)
-        # Argmax on device: masks are the product; avoids shipping logits.
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8), new_state
+        masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        # 4-byte execution witness: fetching it forces this chunk (and via
+        # the state chain, every previous chunk) to really run.
+        checksum = jnp.sum(masks.astype(jnp.int32))
+        return masks, checksum, new_state
 
-    state = None
-    # Initial state must come from a traced init to keep shapes static.
-    logits0, state = jax.jit(model.apply)(
-        params, frames.astype(jnp.float32) / 255.0)
-    del logits0
+    step = jax.jit(step_fn)
+
+    # Model FLOPs per chunk from XLA's own cost analysis (for the
+    # plausibility cross-check).
+    flops_per_chunk = float("nan")
+    try:
+        comp = step.lower(params, frames, None).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        if ca:
+            flops_per_chunk = float(ca.get("flops", float("nan")))
+    except Exception:
+        pass
+
+    masks, checksum, state = step(params, frames, None)
+    np.asarray(checksum)                      # force init-signature compile+run
 
     for _ in range(warmup_chunks):
-        masks, state = step(params, frames, state)
-    jax.block_until_ready((masks, state.mem))
+        masks, checksum, state = step(params, frames, state)
+    np.asarray(checksum)                      # warm, fully executed
 
     t0 = time.perf_counter()
     for _ in range(timed_chunks):
-        masks, state = step(params, frames, state)
-    jax.block_until_ready((masks, state.mem))
+        masks, checksum, state = step(params, frames, state)
+    np.asarray(checksum)                      # forces the whole chain
     dt = time.perf_counter() - t0
 
     total_frames = timed_chunks * chunk * batch
     fps = total_frames / dt
+    tflops = (flops_per_chunk * timed_chunks / dt) / 1e12 \
+        if np.isfinite(flops_per_chunk) else float("nan")
     return {
         "frames_per_sec": fps,
         "ms_per_frame": 1e3 * dt / total_frames,
@@ -65,19 +93,25 @@ def measure_streaming_fps(model: GDKVM, params, *, image_size: int = 112,
         "image_size": image_size,
         "timed_frames": total_frames,
         "elapsed_sec": dt,
+        "apparent_tflops": tflops,
+        "plausible": bool(not np.isfinite(tflops)
+                          or tflops <= _V5E_PEAK_TFLOPS),
     }
 
 
 def measure_train_step_time(train_step, state, batch,
                             warmup: int = 2, timed: int = 10
                             ) -> Dict[str, float]:
-    """Seconds/step for a jitted train step (donated state threaded)."""
+    """Seconds/step for a jitted train step (donated state threaded).
+
+    Execution is forced by fetching the scalar loss each step — see module
+    docstring for why block_until_ready is not sufficient."""
     for _ in range(warmup):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics)
+    np.asarray(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(timed):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics)
+    np.asarray(metrics["loss"])
     dt = (time.perf_counter() - t0) / timed
     return {"sec_per_step": dt, "steps_per_sec": 1.0 / dt}

@@ -33,7 +33,11 @@ def maybe_profile(trace_dir: Optional[str]) -> Iterator[None]:
 
 
 class StepTimer:
-    """block_until_ready-based step timing with compile-step exclusion.
+    """Fetch-forced step timing with compile-step exclusion.
+
+    Pass a (small) result array to lap(): it is fetched to host, which is
+    the only reliable way to wait for execution on remote-dispatch
+    platforms (block_until_ready can return at dispatch-ack).
 
     The first `skip` laps (compilation) are excluded from the average —
     the reference-shaped metrics log otherwise reports compile time as
@@ -50,7 +54,7 @@ class StepTimer:
     def lap(self, result=None) -> Optional[float]:
         """Mark a step boundary; returns the lap seconds (None if skipped)."""
         if result is not None:
-            jax.block_until_ready(result)
+            jax.device_get(result)
         now = time.perf_counter()
         dt = now - self._t0
         self._t0 = now
