@@ -176,6 +176,25 @@ def cmd_pack(argv) -> int:
     return 0
 
 
+def cmd_convert_camus(argv) -> int:
+    """Convert raw CAMUS (MetaImage .mhd) into the processed PNG layout."""
+    from gdkvm_tpu.data.camus_raw import convert_raw_camus
+    p = argparse.ArgumentParser(prog="gdkvm convert-camus")
+    p.add_argument("--raw", required=True, help="raw CAMUS root "
+                   "(patientNNNN dirs of .mhd half-sequences)")
+    p.add_argument("--out", required=True,
+                   help="output root (camus_png256x256_10f layout)")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--clip-len", type=int, default=10)
+    p.add_argument("--val-fraction", type=float, default=0.1)
+    args = p.parse_args(argv)
+    n = convert_raw_camus(args.raw, args.out, image_size=args.image_size,
+                          clip_len=args.clip_len,
+                          val_fraction=args.val_fraction)
+    print(json.dumps({"clips_written": n, "out": args.out}))
+    return 0
+
+
 _COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
@@ -183,6 +202,7 @@ _COMMANDS = {
     "stream-eval": cmd_stream_eval,
     "scale": cmd_scale,
     "pack": cmd_pack,
+    "convert-camus": cmd_convert_camus,
 }
 
 

@@ -98,6 +98,8 @@ class ParallelConfig:
 class RuntimeConfig:
     run_dir: str = "outputs/run"       # hydra.run.dir equivalent
     resume: bool = False
+    # Persistent compilation cache dir; "" = the GDKVM_JIT_CACHE default
+    # (~/.cache/gdkvm_tpu/jaxcache, see gdkvm_tpu/__init__.py).
     jit_cache_dir: str = ""
     profile: bool = False
     # Sanitizer tier (SURVEY §5): raise on the first NaN-producing op.

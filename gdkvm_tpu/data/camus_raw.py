@@ -1,0 +1,135 @@
+"""Raw CAMUS dataset support (MetaImage .mhd/.raw volumes).
+
+The reference points at the raw CAMUS download from creatis alongside the
+processed artifact (reference: website/src/pages/[lang]/reprod/index.astro:
+222 vs :217).  Raw CAMUS ships one directory per patient with per-view
+half-cycle sequences as MetaImage volumes:
+
+    patient0001/
+      patient0001_2CH_half_sequence.mhd/.raw        frames (T,H,W) uint8
+      patient0001_2CH_half_sequence_gt.mhd/.raw     masks  (T,H,W) uint8
+      (same for 4CH; plus single-frame ED/ES files)
+
+This module implements a dependency-free MetaImage reader (the format is a
+tiny ASCII header + raw blob) and a converter into the processed
+``camus_png256x256_10f`` layout consumed by gdkvm_tpu.data.camus —
+mirroring the preprocessing the reference recipe assumes (resize to
+256×256, sample 10 frames uniformly across the half cycle).
+
+CAMUS class ids: 0 background, 1 LV endocardium, 2 myocardium, 3 LA —
+identical to our convention, no remapping needed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+from PIL import Image
+
+_MET_DTYPES = {
+    "MET_UCHAR": np.uint8,
+    "MET_CHAR": np.int8,
+    "MET_USHORT": np.uint16,
+    "MET_SHORT": np.int16,
+    "MET_UINT": np.uint32,
+    "MET_INT": np.int32,
+    "MET_FLOAT": np.float32,
+    "MET_DOUBLE": np.float64,
+}
+
+
+def read_mhd(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
+    """Read a MetaImage volume → (array in [T]HW order, header dict)."""
+    header: Dict[str, str] = {}
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            header[key.strip()] = val.strip()
+    ndims = int(header.get("NDims", "3"))
+    dims = [int(x) for x in header["DimSize"].split()]   # X Y [Z/T]
+    dtype = _MET_DTYPES[header.get("ElementType", "MET_UCHAR")]
+    if header.get("CompressedData", "False").lower() == "true":
+        import zlib
+        raw_name = header["ElementDataFile"]
+        raw_path = os.path.join(os.path.dirname(path), raw_name)
+        with open(raw_path, "rb") as rf:
+            blob = zlib.decompress(rf.read())
+        arr = np.frombuffer(blob, dtype=dtype)
+    else:
+        raw_name = header["ElementDataFile"]
+        raw_path = os.path.join(os.path.dirname(path), raw_name)
+        arr = np.fromfile(raw_path, dtype=dtype)
+    # MetaImage is x-fastest: reshape as (dimN,...,dim1) = (T/Z, H, W).
+    shape = tuple(reversed(dims[:ndims]))
+    return arr.reshape(shape), header
+
+
+def write_mhd(path: str, volume: np.ndarray) -> None:
+    """Write a (T,H,W) uint8 MetaImage pair (testing / materialization)."""
+    base = os.path.splitext(os.path.basename(path))[0]
+    raw_name = base + ".raw"
+    t, h, w = volume.shape
+    with open(path, "w") as f:
+        f.write("ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+                "BinaryDataByteOrderMSB = False\nCompressedData = False\n"
+                f"DimSize = {w} {h} {t}\nElementType = MET_UCHAR\n"
+                f"ElementDataFile = {raw_name}\n")
+    volume.astype(np.uint8).tofile(os.path.join(os.path.dirname(path),
+                                                raw_name))
+
+
+def _resize_stack(vol: np.ndarray, size: int, is_mask: bool) -> np.ndarray:
+    out = np.empty((vol.shape[0], size, size), np.uint8)
+    method = Image.NEAREST if is_mask else Image.BILINEAR
+    for t in range(vol.shape[0]):
+        img = Image.fromarray(vol[t].astype(np.uint8))
+        out[t] = np.asarray(img.resize((size, size), method), np.uint8)
+    return out
+
+
+def convert_raw_camus(raw_root: str, out_root: str, *,
+                      image_size: int = 256, clip_len: int = 10,
+                      val_fraction: float = 0.1, seed: int = 0) -> int:
+    """Convert raw CAMUS (patientNNNN dirs of .mhd half-sequences) into the
+    processed camus_png256x256_10f layout.  Returns #clips written."""
+    patients = sorted(d for d in os.listdir(raw_root)
+                      if d.startswith("patient")
+                      and os.path.isdir(os.path.join(raw_root, d)))
+    if not patients:
+        raise FileNotFoundError(f"no patientNNNN directories in {raw_root}")
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(patients))
+    n_val = max(int(len(patients) * val_fraction), 1) \
+        if len(patients) > 1 else 0
+    val_set = {patients[i] for i in order[:n_val]}
+
+    written = 0
+    for pat in patients:
+        pdir = os.path.join(raw_root, pat)
+        for view in ("2CH", "4CH"):
+            seq = os.path.join(pdir, f"{pat}_{view}_half_sequence.mhd")
+            gt = os.path.join(pdir, f"{pat}_{view}_half_sequence_gt.mhd")
+            if not os.path.exists(seq):
+                continue
+            frames, _ = read_mhd(seq)
+            masks = read_mhd(gt)[0] if os.path.exists(gt) else None
+            t_total = frames.shape[0]
+            idx = np.linspace(0, t_total - 1, clip_len).round().astype(int)
+            frames_r = _resize_stack(frames[idx], image_size, False)
+            split = "val" if pat in val_set else "train"
+            clip_dir = os.path.join(out_root, split, f"{pat}_{view}")
+            os.makedirs(clip_dir, exist_ok=True)
+            for j in range(clip_len):
+                Image.fromarray(frames_r[j]).save(
+                    os.path.join(clip_dir, f"frame_{j:02d}.png"))
+            if masks is not None:
+                masks_r = _resize_stack(masks[idx], image_size, True)
+                for j in range(clip_len):
+                    Image.fromarray(masks_r[j]).save(
+                        os.path.join(clip_dir, f"mask_{j:02d}.png"))
+            written += 1
+    return written

@@ -123,6 +123,10 @@ def create_train_state(cfg: Config, model: GDKVM,
 def train(cfg: Config, *, max_steps: Optional[int] = None,
           mesh=None) -> Dict[str, float]:
     """Full training run.  Returns final metrics (incl. last eval Dice)."""
+    if cfg.runtime.jit_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.runtime.jit_cache_dir)
+
     if cfg.runtime.debug_nans:
         # Sanitizer mode: fail loudly at the first NaN-producing op
         # (SURVEY §5 race-detection/sanitizer tier).  Slower; debug only.
