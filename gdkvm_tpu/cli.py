@@ -71,13 +71,16 @@ def cmd_eval(argv) -> int:
 
 def cmd_bench(argv) -> int:
     import jax
+    import numpy as np
     from gdkvm_tpu.config.schema import load_config
-    from gdkvm_tpu.eval.throughput import measure_streaming_fps
+    from gdkvm_tpu.eval.throughput import measure_streaming_fps, \
+        measure_train_step_time
     from gdkvm_tpu.models.gdkvm import GDKVM, init_params
 
     flags, overrides = _split_args(argv)
     p = argparse.ArgumentParser(prog="gdkvm bench")
     p.add_argument("--config", default=None)
+    p.add_argument("--mode", choices=("stream", "train"), default="stream")
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--image-size", type=int, default=112)
@@ -85,10 +88,34 @@ def cmd_bench(argv) -> int:
     cfg = load_config(args.config, overrides)
 
     model = GDKVM(cfg=cfg.model)
-    params = init_params(model, jax.random.PRNGKey(0), args.image_size)
-    result = measure_streaming_fps(
-        model, params, image_size=args.image_size,
-        chunk=args.chunk, batch=args.batch)
+    if args.mode == "train":
+        from gdkvm_tpu.data.pipeline import Batch
+        from gdkvm_tpu.train.loop import create_train_state, \
+            make_optimizer, make_train_step
+        tx = make_optimizer(cfg)
+        cfg.data.image_size = args.image_size
+        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+        b, t = cfg.train.batch_size, cfg.data.clip_len
+        rng = np.random.default_rng(0)
+        batch = Batch(
+            frames=rng.integers(0, 255, (b, t, args.image_size,
+                                         args.image_size, 1), np.uint8),
+            masks=rng.integers(0, cfg.model.num_classes,
+                               (b, t, args.image_size, args.image_size)
+                               ).astype(np.uint8),
+            valid=np.ones((b, t), np.float32))
+        step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+        result = measure_train_step_time(step, state,
+                                         jax.device_put(batch))
+        result["train_frames_per_sec"] = result["steps_per_sec"] * b * t
+        result["batch_size"] = b
+        result["clip_len"] = t
+        result["image_size"] = args.image_size
+    else:
+        params = init_params(model, jax.random.PRNGKey(0), args.image_size)
+        result = measure_streaming_fps(
+            model, params, image_size=args.image_size,
+            chunk=args.chunk, batch=args.batch)
     print(json.dumps(result))
     return 0
 

@@ -23,7 +23,7 @@ identical to our convention, no remapping needed.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from PIL import Image

@@ -9,8 +9,7 @@ the long-context mechanism itself (SURVEY.md §5 long-context).
 
 from __future__ import annotations
 
-import functools
-from typing import Iterator, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Methodology notes (hard-won on the dev tunnel):
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ the beaten path the standard env vars are honored.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 
