@@ -136,6 +136,11 @@ def cmd_stream_eval(argv) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num-videos", type=int, default=8)
     p.add_argument("--video-len", type=int, default=128)
+    p.add_argument("--reset-state", action="store_true",
+                   help="ablation: zero the memory between chunks")
+    p.add_argument("--occlude", action="store_true",
+                   help="robustness probe: blank an LV-covering region "
+                        "around the last traced frame")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -153,7 +158,9 @@ def cmd_stream_eval(argv) -> int:
         params = init_params(model, jax.random.PRNGKey(0),
                              cfg.data.image_size)
     out = stream_evaluate(cfg, model, params, num_videos=args.num_videos,
-                          video_len=args.video_len)
+                          video_len=args.video_len,
+                          reset_state=args.reset_state,
+                          occlude=args.occlude)
     print(json.dumps(out))
     return 0
 

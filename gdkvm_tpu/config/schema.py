@@ -56,6 +56,13 @@ class DataConfig:
     train_split: str = "train"
     val_split: str = "val"
     augment: bool = True
+    # Acoustic-dropout augmentation: probability that a clip gets a window
+    # of 1-4 consecutive frames with a blanked region (never frame 0).
+    # Teaches the model to read through occlusions from memory — the
+    # robustness behavior the reference claims (README.md:16-22 "signal
+    # dropout").  Measured: without it, carried-state Dice under occlusion
+    # equals reset-state (the memory goes unused).
+    occlude_prob: float = 0.0
     seed: int = 0
 
 

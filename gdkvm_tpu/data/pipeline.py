@@ -65,8 +65,11 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int):
 
 
 def _augment(rng: np.random.Generator, frames: np.ndarray,
-             masks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Cheap host-side augmentation: horizontal flip, brightness/gamma."""
+             masks: np.ndarray, occlude_prob: float = 0.0
+             ) -> tuple[np.ndarray, np.ndarray]:
+    """Cheap host-side augmentation: horizontal flip, brightness/gamma,
+    and optional acoustic-dropout occlusion (frames blanked, GT kept — the
+    loss then forces the model to read through the gap from memory)."""
     if rng.random() < 0.5:
         frames = frames[:, :, ::-1]
         masks = masks[:, :, ::-1]
@@ -76,11 +79,32 @@ def _augment(rng: np.random.Generator, frames: np.ndarray,
         x = frames.astype(np.float32) / 255.0
         x = np.clip(gain * np.power(x, gamma), 0, 1)
         frames = (x * 255).astype(np.uint8)
+    if occlude_prob > 0:
+        frames = _occlude(rng, np.ascontiguousarray(frames), occlude_prob)
     return np.ascontiguousarray(frames), np.ascontiguousarray(masks)
 
 
+def _occlude(rng: np.random.Generator, frames: np.ndarray,
+             occlude_prob: float) -> np.ndarray:
+    """Blank a region over 1-4 consecutive frames (never frame 0)."""
+    if rng.random() >= occlude_prob:
+        return frames
+    t_total, hh, ww = frames.shape[:3]
+    if t_total <= 1:
+        return frames
+    span = int(rng.integers(1, min(4, t_total - 1) + 1))
+    start = int(rng.integers(1, t_total - span + 1))
+    oh = int(rng.uniform(0.4, 0.7) * hh)
+    ow = int(rng.uniform(0.4, 0.7) * ww)
+    oy = int(rng.integers(0, hh - oh + 1))
+    ox = int(rng.integers(0, ww - ow + 1))
+    frames[start:start + span, oy:oy + oh, ox:ox + ow] = 0
+    return frames
+
+
 def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
-                   augment: bool = False, seed: int = 0,
+                   augment: bool = False, occlude_prob: float = 0.0,
+                   seed: int = 0,
                    num_workers: int = 4, drop_last: bool = True,
                    loop: bool = True) -> Iterator[Batch]:
     """Yield host-side Batch objects forever (loop=True) or one epoch."""
@@ -91,7 +115,7 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
         frames, masks, valid = dataset[idx]
         if augment:
             f, m = _augment(np.random.default_rng(rng.integers(2 ** 31)),
-                            frames, masks)
+                            frames, masks, occlude_prob)
             return f, m, valid
         return frames, masks, valid
 
@@ -113,6 +137,13 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
                 flips = (rng.random(len(idxs)) < 0.5).astype(np.uint8) \
                     if augment else None
                 frames, masks, valid = dataset.gather(idxs, flips)
+                if augment and occlude_prob > 0:
+                    # flip/gamma already handled by the native gather;
+                    # occlusion applies on top.
+                    for j in range(frames.shape[0]):
+                        frames[j] = _occlude(
+                            np.random.default_rng(rng.integers(2 ** 31)),
+                            frames[j], occlude_prob)
                 yield Batch(frames=frames, masks=masks, valid=valid)
                 continue
             items = list(pool.map(load, idxs))

@@ -128,12 +128,20 @@ class StreamingSegmenter:
 
 
 def stream_evaluate(cfg, model: GDKVM, params,
-                    num_videos: int = 8, video_len: int = 128):
+                    num_videos: int = 8, video_len: int = 128,
+                    reset_state: bool = False,
+                    occlude: bool = False):
     """Full-sequence streaming eval: per-video chunked recurrence, Dice on
     valid frames, end-to-end frames/sec (BASELINE configs[1]/[3]).
 
     Videos come from the configured dataset when it exposes full videos
     (EchoNet `decode_video`), else from the synthetic generator.
+
+    Ablation knobs (reproduce the memory-contribution study in
+    BASELINE.md): ``reset_state`` zeroes the memory between chunks (set
+    eval_stage.stream_chunk=1 for a true per-frame no-memory baseline);
+    ``occlude`` blanks an LV-covering region around the last traced (or
+    middle) frame — the acoustic-dropout robustness probe.
     """
     import time as _time
     from gdkvm_tpu.data import synthetic as _synth
@@ -165,6 +173,19 @@ def stream_evaluate(cfg, model: GDKVM, params,
                                          cfg.data.image_size, k)
             videos.append((f, m, np.ones((video_len,), np.float32)))
 
+    if occlude:
+        occluded = []
+        for vid, gt, valid in videos:
+            vid = vid.copy()
+            anchors = np.where(valid > 0)[0]
+            es = int(anchors[-1]) if anchors.size else vid.shape[0] // 2
+            hh, ww = vid.shape[1:3]
+            for t in range(max(es - 3, 0), es + 1):
+                vid[t, int(0.27 * hh):int(0.76 * hh),
+                    int(0.22 * ww):int(0.80 * ww)] = 0
+            occluded.append((vid, gt, valid))
+        videos = occluded
+
     step = _jitted_mask_step(model)
     dice_part = _jitted_dice_part(k)
 
@@ -180,6 +201,8 @@ def stream_evaluate(cfg, model: GDKVM, params,
         parts = []
         for i, c in enumerate(chunks):
             masks, state = step(params, c, state)
+            if reset_state:
+                state = None      # ablation: no memory across chunks
             parts.append(dice_part(
                 masks, gt_chunks[i][..., 0].astype(np.int32),
                 v_pad[i * chunk:(i + 1) * chunk]))

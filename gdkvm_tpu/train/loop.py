@@ -169,7 +169,9 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     dataset = make_dataset(cfg.data, cfg.data.train_split,
                            cfg.model.num_classes)
     it = batch_iterator(dataset, cfg.train.batch_size, shuffle=True,
-                        augment=cfg.data.augment, seed=cfg.data.seed,
+                        augment=cfg.data.augment,
+                        occlude_prob=cfg.data.occlude_prob,
+                        seed=cfg.data.seed,
                         num_workers=cfg.data.num_workers)
     it = prefetch_to_device(it, size=cfg.data.prefetch,
                             sharding=batch_sharding(mesh))
