@@ -26,6 +26,9 @@ class ModelConfig:
     # Encoder: stem + 3 stages at strides 4/8/16.
     enc_channels: Tuple[int, ...] = (32, 64, 96, 128)
     enc_blocks: Tuple[int, ...] = (1, 2, 2, 2)
+    # Stem variant: "s2d" (4×4 space-to-depth patchify — MXU-friendly, the
+    # TPU default) or "conv" (two stride-2 convs, the classic CNN stem).
+    enc_stem: str = "s2d"
     # LKVA / GDR memory.
     num_heads: int = 4
     head_dim_k: int = 64

@@ -49,14 +49,32 @@ class ConvBlock(nn.Module):
         return nn.silu(x + h)
 
 
+def space_to_depth(x: jax.Array, p: int) -> jax.Array:
+    """(B, H, W, C) → (B, H/p, W/p, C·p²) by p×p patch folding."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p,
+                                                 c * p * p)
+
+
 class Encoder(nn.Module):
     """Stem (/4) + two downsampling stages (/8, /16).
 
     Returns features at strides 4, 8, 16 (NHWC, compute dtype).
+
+    Two stems:
+    - "conv": two stride-2 3×3 convs (classic; fine-grained but the 1→32
+      channel convs at 112²/56² leave the 128-wide MXU mostly idle).
+    - "s2d" (default): 4×4 space-to-depth then one 3×3 conv at stride-4
+      resolution — the standard TPU trick; all compute runs at ≥16 input
+      channels and 1/16 the spatial positions (same-session A/B on v5e:
+      9,195 vs 6,924 f/s single-stream streaming, ~1.33×; overfit/train
+      tests hit the same Dice waypoints).
     """
     channels: Sequence[int] = (32, 64, 96, 128)   # stem0, /4, /8, /16
     blocks: Sequence[int] = (1, 2, 2, 2)
     dtype: jnp.dtype = jnp.bfloat16
+    stem: str = "s2d"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -65,17 +83,30 @@ class Encoder(nn.Module):
         c0, c4, c8, c16 = self.channels
         b0, b4, b8, b16 = self.blocks
 
-        # Stem: /2 then /2 → stride 4.
-        h = nn.Conv(c0, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=_gn_groups(c0), dtype=self.dtype)(h)
-        h = nn.silu(h)
-        for _ in range(b0):
-            h = ConvBlock(c0, dtype=self.dtype)(h)
-        h = nn.Conv(c4, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(h)
-        for _ in range(b4):
-            h = ConvBlock(c4, dtype=self.dtype)(h)
+        if self.stem not in ("s2d", "conv"):
+            raise ValueError(
+                f"Encoder.stem must be 's2d' or 'conv', got {self.stem!r}")
+        if self.stem == "s2d":
+            # Patchify to stride 4 immediately; MXU-friendly from conv #1.
+            h = space_to_depth(x, 4)                  # (B, H/4, W/4, 16·C_in)
+            h = nn.Conv(c4, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype)(h)
+            h = nn.GroupNorm(num_groups=_gn_groups(c4), dtype=self.dtype)(h)
+            h = nn.silu(h)
+            for _ in range(max(b0 + b4 - 1, 1)):      # same depth budget
+                h = ConvBlock(c4, dtype=self.dtype)(h)
+        else:
+            # Stem: /2 then /2 → stride 4.
+            h = nn.Conv(c0, (3, 3), strides=(2, 2), padding="SAME",
+                        use_bias=False, dtype=self.dtype)(x)
+            h = nn.GroupNorm(num_groups=_gn_groups(c0), dtype=self.dtype)(h)
+            h = nn.silu(h)
+            for _ in range(b0):
+                h = ConvBlock(c0, dtype=self.dtype)(h)
+            h = nn.Conv(c4, (3, 3), strides=(2, 2), padding="SAME",
+                        use_bias=False, dtype=self.dtype)(h)
+            for _ in range(b4):
+                h = ConvBlock(c4, dtype=self.dtype)(h)
         f4 = h
 
         h = nn.Conv(c8, (3, 3), strides=(2, 2), padding="SAME",

@@ -63,7 +63,8 @@ class GDKVM(nn.Module):
         c = self.cfg
         dt = _dtype(c.compute_dtype)
         self.encoder = Encoder(channels=tuple(c.enc_channels),
-                               blocks=tuple(c.enc_blocks), dtype=dt)
+                               blocks=tuple(c.enc_blocks), dtype=dt,
+                               stem=getattr(c, "enc_stem", "s2d"))
         self.lkva = LKVAMemory(num_heads=c.num_heads,
                                head_dim_k=c.head_dim_k,
                                head_dim_v=c.head_dim_v,
