@@ -106,16 +106,30 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
                    augment: bool = False, occlude_prob: float = 0.0,
                    seed: int = 0,
                    num_workers: int = 4, drop_last: bool = True,
-                   loop: bool = True) -> Iterator[Batch]:
-    """Yield host-side Batch objects forever (loop=True) or one epoch."""
-    rng = np.random.default_rng(seed)
-    pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+                   loop: bool = True, start_step: int = 0
+                   ) -> Iterator[Batch]:
+    """Yield host-side Batch objects forever (loop=True) or one epoch.
 
-    def load(idx: int) -> tuple:
+    Deterministic by construction: every random draw derives from
+    ``(seed, epoch, batch, slot)`` via independent Generators, so the
+    batch stream is identical regardless of thread scheduling, and
+    ``start_step`` fast-forwards the schedule without touching data —
+    resume reproduces the exact batch sequence a straight-through run
+    would have seen (SURVEY §5 checkpoint/resume: iterator state is a
+    pure function of (seed, step)).
+    """
+    pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+    n = len(dataset)
+    if drop_last:
+        batches_per_epoch = max(n // batch_size, 1)
+    else:
+        batches_per_epoch = max(-(-n // batch_size), 1)
+
+    def load(args) -> tuple:
+        idx, erng = args
         frames, masks, valid = dataset[idx]
         if augment:
-            f, m = _augment(np.random.default_rng(rng.integers(2 ** 31)),
-                            frames, masks, occlude_prob)
+            f, m = _augment(erng, frames, masks, occlude_prob)
             return f, m, valid
         return frames, masks, valid
 
@@ -123,18 +137,23 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
     # (thread-pool memcpy + flip, no GIL) — see gdkvm_tpu/data/packed.py.
     has_gather = hasattr(dataset, "gather")
 
-    epoch = 0
+    epoch = (start_step // batches_per_epoch) if loop else 0
+    step = epoch * batches_per_epoch
     while True:
-        order = np.arange(len(dataset))
+        order = np.arange(n)
         if shuffle:
-            rng.shuffle(order)
-        for lo in range(0, len(order), batch_size):
+            np.random.default_rng((seed, epoch, 0x0D0E)).shuffle(order)
+        for bi, lo in enumerate(range(0, n, batch_size)):
             idxs = order[lo:lo + batch_size]
-            if len(idxs) < batch_size:
-                if drop_last:
-                    continue
+            if len(idxs) < batch_size and drop_last:
+                continue
+            if step < start_step:
+                step += 1
+                continue
+            step += 1
             if has_gather:
-                flips = (rng.random(len(idxs)) < 0.5).astype(np.uint8) \
+                brng = np.random.default_rng((seed, epoch, bi))
+                flips = (brng.random(len(idxs)) < 0.5).astype(np.uint8) \
                     if augment else None
                 frames, masks, valid = dataset.gather(idxs, flips)
                 if augment and occlude_prob > 0:
@@ -142,11 +161,13 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
                     # occlusion applies on top.
                     for j in range(frames.shape[0]):
                         frames[j] = _occlude(
-                            np.random.default_rng(rng.integers(2 ** 31)),
+                            np.random.default_rng((seed, epoch, bi, j)),
                             frames[j], occlude_prob)
                 yield Batch(frames=frames, masks=masks, valid=valid)
                 continue
-            items = list(pool.map(load, idxs))
+            items = list(pool.map(load, [
+                (int(idx), np.random.default_rng((seed, epoch, bi, j)))
+                for j, idx in enumerate(idxs)]))
             yield Batch(
                 frames=np.stack([it[0] for it in items]),
                 masks=np.stack([it[1] for it in items]),

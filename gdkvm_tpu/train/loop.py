@@ -172,7 +172,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                         augment=cfg.data.augment,
                         occlude_prob=cfg.data.occlude_prob,
                         seed=cfg.data.seed,
-                        num_workers=cfg.data.num_workers)
+                        num_workers=cfg.data.num_workers,
+                        start_step=start_step)
     it = prefetch_to_device(it, size=cfg.data.prefetch,
                             sharding=batch_sharding(mesh))
 

@@ -111,3 +111,33 @@ def test_bf16_compute_path():
     assert logits.dtype == jnp.float32
     assert state.mem.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_stem_variants():
+    """Both stems produce identical output geometry; bad stem raises."""
+    frames = _frames(jax.random.PRNGKey(7), t=2, s=64)
+    shapes = {}
+    for stem in ("s2d", "conv"):
+        cfg = tiny_cfg(enc_stem=stem)
+        model = GDKVM(cfg=cfg)
+        params = init_params(model, jax.random.PRNGKey(0), image_size=64)
+        logits, state = model.apply(params, frames)
+        shapes[stem] = (logits.shape, state.mem.shape)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+    assert shapes["s2d"] == shapes["conv"]
+
+    cfg = tiny_cfg(enc_stem="bogus")
+    model = GDKVM(cfg=cfg)
+    with pytest.raises(ValueError, match="s2d"):
+        init_params(model, jax.random.PRNGKey(0), image_size=64)
+
+
+def test_space_to_depth_layout():
+    """space_to_depth folds each p×p patch into channels, losslessly."""
+    from gdkvm_tpu.models.encoder import space_to_depth
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    y = space_to_depth(x, 4)
+    assert y.shape == (2, 2, 2, 48)
+    # Patch (0,0) of batch 0: channels are the 4×4×3 patch row-major.
+    patch = x[0, :4, :4, :].reshape(-1)
+    np.testing.assert_array_equal(y[0, 0, 0], patch)

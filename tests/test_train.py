@@ -97,3 +97,37 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert lines[0]["step"] == 1 and abs(lines[0]["loss"] - 1.5) < 1e-6
     assert lines[1]["note"] == "x"
+
+
+def test_resume_equals_straight_run(tmp_path):
+    """Train 4 steps straight vs 2 + resume + 2: identical final params
+    (optimizer, RNG, and the batch stream all restore exactly)."""
+    from gdkvm_tpu.train.loop import train
+
+    common = dict(num_iterations=4, **{"train.checkpoint_every": 2,
+                                       "train.eval_every": 1000,
+                                       "train.log_every": 1,
+                                       "data.augment": True,
+                                       "parallel.data_axis": 1})
+
+    cfg_a = smoke_cfg(**common, **{"runtime.run_dir": str(tmp_path / "a")})
+    train(cfg_a)
+
+    # Same schedule (num_iterations drives LR decay) — stop early instead.
+    cfg_b1 = smoke_cfg(**common, **{"runtime.run_dir": str(tmp_path / "b")})
+    train(cfg_b1, max_steps=2)
+    cfg_b2 = smoke_cfg(**common, **{"runtime.run_dir": str(tmp_path / "b"),
+                                    "runtime.resume": True})
+    train(cfg_b2)
+
+    from gdkvm_tpu.io.checkpoint import CheckpointManager
+    from gdkvm_tpu.train.loop import create_train_state, make_optimizer
+    tpl = create_train_state(cfg_a, GDKVM(cfg=cfg_a.model),
+                             make_optimizer(cfg_a), jax.random.PRNGKey(0))
+    tpl = jax.device_get(tpl)
+    ma = CheckpointManager(str(tmp_path / "a" / "checkpoints"))
+    mb = CheckpointManager(str(tmp_path / "b" / "checkpoints"))
+    assert ma.latest_step() == 4 and mb.latest_step() == 4
+    pa, pb = ma.restore(tpl).params, mb.restore(tpl).params
+    ma.close(); mb.close()
+    jax.tree.map(np.testing.assert_array_equal, pa, pb)
