@@ -41,8 +41,17 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self._dir}")
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+        except (KeyError, ValueError) as exc:
+            raise ValueError(
+                f"checkpoint at {self._dir} step {step} does not match the "
+                f"model config (param tree mismatch). A common cause: the "
+                f"run predates a model-config default change (e.g. "
+                f"model.enc_stem); pass the original value explicitly "
+                f"(e.g. model.enc_stem=conv). Original error: {exc}"
+            ) from exc
 
     def close(self) -> None:
         self._mgr.close()
