@@ -141,6 +141,9 @@ def cmd_stream_eval(argv) -> int:
     p.add_argument("--occlude", action="store_true",
                    help="robustness probe: blank an LV-covering region "
                         "around the last traced frame")
+    p.add_argument("--streams", type=int, default=None,
+                   help="videos in flight as one batched recurrence "
+                        "(serving mode; default eval_stage.streams)")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -160,7 +163,9 @@ def cmd_stream_eval(argv) -> int:
     out = stream_evaluate(cfg, model, params, num_videos=args.num_videos,
                           video_len=args.video_len,
                           reset_state=args.reset_state,
-                          occlude=args.occlude)
+                          occlude=args.occlude,
+                          streams=args.streams if args.streams is not None
+                          else cfg.eval_stage.streams)
     print(json.dumps(out))
     return 0
 

@@ -94,6 +94,7 @@ class EvalStageConfig:
     wandb_mode: str = "offline"        # documented key
     batch_size: int = 1
     stream_chunk: int = 16             # frames per device call in streaming
+    streams: int = 1                   # videos in flight (serving mode)
 
 
 @dataclass

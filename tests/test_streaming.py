@@ -83,3 +83,21 @@ def test_cli_scale_command(capsys):
     out = capsys.readouterr().out
     assert "batch_size_tokens" in out and "learning_rate" in out
     assert main(["scale", "-N", "bogus!!", "-D", "1"]) == 2
+
+
+def test_stream_evaluate_multistream_matches_single(tiny_model):
+    """streams=N (batched recurrence, padded groups) gives the exact same
+    Dice partial sums as the sequential single-stream path (fp32 CPU),
+    including with a group-tail pad (3 videos, 2 streams)."""
+    from gdkvm_tpu.eval.streaming import stream_evaluate
+    model, params = tiny_model
+    cfg = load_config(None, overrides=[
+        "data.dataset=synthetic", "data.image_size=32",
+        "model.num_classes=2", "eval_stage.stream_chunk=8"])
+    single = stream_evaluate(cfg, model, params, num_videos=3, video_len=24)
+    multi = stream_evaluate(cfg, model, params, num_videos=3, video_len=24,
+                            streams=2)
+    assert multi["streams"] == 2 and multi["frames"] == single["frames"]
+    for key in single:
+        if key.startswith("dice"):
+            assert single[key] == pytest.approx(multi[key], abs=1e-6), key
