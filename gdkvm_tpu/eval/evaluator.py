@@ -40,40 +40,51 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
     bs = (bs // data_par) * data_par
 
     @jax.jit
-    def fwd(params, frames_u8):
+    def fwd_part(params, frames_u8, masks, valid):
+        """Forward + Dice partial sums + mid-frame preds in ONE jit: eager
+        ops between batches are remote dispatches on this platform, and a
+        per-batch device_get would serialize the pipeline."""
         frames = frames_u8.astype(jnp.float32) / 255.0
         logits, _ = model.apply(params, frames)
-        return logits
+        part = M.dice_accumulate(logits, masks.astype(jnp.int32), valid, k)
+        t_mid = logits.shape[1] // 2
+        pred_mid = jnp.argmax(logits[:, t_mid], axis=-1).astype(jnp.uint8)
+        return part, pred_mid
 
     it = batch_iterator(dataset, bs, shuffle=False, augment=False,
                         drop_last=False, loop=False,
                         num_workers=cfg.data.num_workers)
-    acc = None
-    vis_saved = 0
+    parts = []
+    vis_jobs = []          # (frames_dev, masks_dev, preds_dev) to dump
+    vis_budget = cfg.eval_stage.num_vis
     vis_dir = os.path.join(cfg.runtime.run_dir, "vis")
     with mesh:
         it = prefetch_to_device(it, size=2, sharding=batch_sharding(mesh))
         for batch in it:
             if batch.frames.shape[0] % data_par:
                 continue  # ragged tail smaller than the mesh; skip
-            logits = fwd(params, batch.frames)
-            part = M.dice_accumulate(logits, batch.masks.astype(jnp.int32),
-                                     batch.valid, k)
-            part = jax.device_get(part)
-            acc = part if acc is None else M.dice_merge(acc, part)
-
-            # num_vis overlay dumps from the first batches.
-            if vis_saved < cfg.eval_stage.num_vis:
-                frames_h = np.asarray(jax.device_get(batch.frames))
-                masks_h = np.asarray(jax.device_get(batch.masks))
-                preds_h = np.asarray(jnp.argmax(logits, axis=-1))
-                b = frames_h.shape[0]
-                t_mid = frames_h.shape[1] // 2
-                for i in range(min(b, cfg.eval_stage.num_vis - vis_saved)):
-                    save_vis(vis_dir, step, vis_saved,
-                             frames_h[i, t_mid], preds_h[i, t_mid],
-                             masks_h[i, t_mid])
-                    vis_saved += 1
-    if acc is None:
+            part, pred_mid = fwd_part(params, batch.frames, batch.masks,
+                                      batch.valid)
+            parts.append(part)          # async — fetched once at the end
+            if len(vis_jobs) * bs < vis_budget:
+                vis_jobs.append((batch.frames, batch.masks, pred_mid))
+    if not parts:
         return {}
+    parts = jax.device_get(parts)
+    acc = parts[0]
+    for part in parts[1:]:
+        acc = M.dice_merge(acc, part)
+
+    # num_vis overlay dumps from the first batches (host-side, post-loop).
+    vis_saved = 0
+    for frames_d, masks_d, preds_d in vis_jobs:
+        frames_h, masks_h, preds_h = map(np.asarray, jax.device_get(
+            (frames_d, masks_d, preds_d)))
+        t_mid = frames_h.shape[1] // 2
+        for i in range(min(frames_h.shape[0], vis_budget - vis_saved)):
+            save_vis(vis_dir, step, vis_saved, frames_h[i, t_mid],
+                     preds_h[i], masks_h[i, t_mid])
+            vis_saved += 1
+        if vis_saved >= vis_budget:
+            break
     return M.dice_finalize(acc)
