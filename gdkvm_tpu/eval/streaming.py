@@ -367,7 +367,10 @@ def stream_video(model: GDKVM, params, video_u8: np.ndarray,
     of `chunk`; padded outputs are discarded, and because the recurrence is
     causal the valid prefix is unaffected."""
     t_total = video_u8.shape[0]
-    chunks = _chunk_video(video_u8, chunk)
+    # Stage chunks on device explicitly: jit-argument numpy upload is ~60×
+    # slower than async device_put on the remote-dispatch transfer path.
+    chunks = [jax.device_put(np.ascontiguousarray(c))
+              for c in _chunk_video(video_u8, chunk)]
     step = _jitted_mask_step(model)
     state = None
     outs = []
