@@ -39,9 +39,10 @@ def main() -> None:
     # Best-of-3: the dev tunnel's dispatch latency swings ~2× window to
     # window; the max is the stable estimate of device throughput.
     reps = int(os.environ.get("GDKVM_BENCH_REPS", "3"))
+    timed = int(os.environ.get("GDKVM_BENCH_TIMED_CHUNKS", "30"))
     fps = max(measure_streaming_fps(model, params, image_size=112,
                                     chunk=chunk, batch=batch,
-                                    warmup_chunks=3, timed_chunks=30)
+                                    warmup_chunks=3, timed_chunks=timed)
               ["frames_per_sec"] for _ in range(reps))
     print(json.dumps({
         "metric": "echonet_streaming_frames_per_sec_per_chip",
