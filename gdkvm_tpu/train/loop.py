@@ -194,9 +194,10 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             if (step_idx + 1) % cfg.train.log_every == 0 or step_idx == 0:
                 metrics = jax.device_get(metrics)
                 metrics.update(timer.stats())
-                metrics["frames_per_sec"] = (
-                    metrics["steps_per_sec"] * cfg.train.batch_size
-                    * cfg.data.clip_len)
+                if "steps_per_sec" in metrics:
+                    metrics["frames_per_sec"] = (
+                        metrics["steps_per_sec"] * cfg.train.batch_size
+                        * cfg.data.clip_len)
                 logger.log(step_idx + 1, metrics)
                 final_metrics = {k: float(v) for k, v in metrics.items()}
                 timer.reset_window()

@@ -67,7 +67,10 @@ class StepTimer:
 
     def stats(self) -> Dict[str, float]:
         if not self._count:
-            return {"steps_per_sec": 0.0, "sec_per_step": float("inf")}
+            # Degenerate window (all laps were compile-skipped): report
+            # nothing rather than 0.0 / Infinity — `Infinity` is not valid
+            # JSON and poisons the metrics log.
+            return {}
         sec = self._acc / self._count
         return {"steps_per_sec": 1.0 / sec, "sec_per_step": sec}
 
