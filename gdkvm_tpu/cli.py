@@ -43,8 +43,7 @@ def cmd_eval(argv) -> int:
     from gdkvm_tpu.io.checkpoint import CheckpointManager
     from gdkvm_tpu.models.gdkvm import GDKVM, init_params
     from gdkvm_tpu.parallel import make_mesh
-    from gdkvm_tpu.train.loop import TrainState, create_train_state, \
-        make_optimizer
+    from gdkvm_tpu.train.loop import create_train_state, make_optimizer
     import os
 
     flags, overrides = _split_args(argv)
