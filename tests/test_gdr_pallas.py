@@ -71,8 +71,11 @@ def test_pallas_streaming_state_carry():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pallas_grad_matches_chunked():
-    """Custom VJP (backward via chunked form) ≈ grads of the scan ref."""
+@pytest.mark.parametrize("mode", ["fused", "recompute"])
+def test_pallas_grad_matches_ref(mode, monkeypatch):
+    """Custom VJP (fused reverse-scan kernel / recompute fallback) ≈ grads
+    of the scan reference."""
+    monkeypatch.setenv("GDKVM_GDR_BWD", mode)
     args = _rand_bh(jax.random.PRNGKey(3), B=1, H=1, T=3, N=5, dk=8, dv=8)
 
     def loss_pl(*a):
@@ -85,6 +88,67 @@ def test_pallas_grad_matches_chunked():
 
     g_pl = jax.grad(loss_pl, argnums=tuple(range(6)))(*args)
     g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("T,N,dk,dv", [
+    (4, 7, 16, 16),      # unaligned N → padding path
+    (2, 16, 16, 32),     # dk != dv, exact 16-token block
+    (3, 49, 32, 32),     # EchoNet-like token count (7×7)
+])
+def test_pallas_fused_bwd_all_grads(T, N, dk, dv, monkeypatch):
+    """Fused backward kernel: per-argument cotangents ≡ scan-reference
+    grads under a mixed o/sT loss with non-uniform weights (catches
+    token-padding and reversed-time indexing bugs)."""
+    monkeypatch.setenv("GDKVM_GDR_BWD", "fused")
+    args = _rand_bh(jax.random.PRNGKey(7), B=2, H=2, T=T, N=N, dk=dk, dv=dv)
+    w_o = jnp.cos(jnp.arange(T * N * dv, dtype=jnp.float32)).reshape(
+        1, 1, T, N, dv)
+    w_s = jnp.sin(jnp.arange(dk * dv, dtype=jnp.float32)).reshape(
+        1, 1, dk, dv)
+
+    def loss(fn):
+        def f(*a):
+            o, s = fn(*a)
+            return jnp.sum(o * w_o) + jnp.sum(s * w_s)
+        return f
+
+    g_pl = jax.grad(loss(gdr_pallas.gdr_pallas_bh),
+                    argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss(gdr.gdr_ref_bh), argnums=tuple(range(6)))(*args)
+    names = ["dq", "dk", "dv", "dbeta", "dalpha", "ds0"]
+    for name, a, b in zip(names, g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_pallas_fused_bwd_state_carry_chain(monkeypatch):
+    """Gradient flows through a chained two-call state carry (ds0 of the
+    second call feeds sT cotangent of the first)."""
+    monkeypatch.setenv("GDKVM_GDR_BWD", "fused")
+    q, k, v, beta, alpha, s0 = _rand_bh(jax.random.PRNGKey(9), T=6)
+    sl = lambda x, lo, hi: x[:, :, lo:hi]
+
+    def loss_chain(*a):
+        q, k, v, beta, alpha, s0 = a
+        _, s_a = gdr_pallas.gdr_pallas_bh(
+            sl(q, 0, 3), sl(k, 0, 3), sl(v, 0, 3), sl(beta, 0, 3),
+            sl(alpha, 0, 3), s0)
+        o_b, s_b = gdr_pallas.gdr_pallas_bh(
+            sl(q, 3, 6), sl(k, 3, 6), sl(v, 3, 6), sl(beta, 3, 6),
+            sl(alpha, 3, 6), s_a)
+        return jnp.sum(o_b ** 2) + jnp.sum(s_b ** 2)
+
+    def loss_ref(*a):
+        o, s = gdr.gdr_ref_bh(*a)
+        return jnp.sum(o[:, :, 3:] ** 2) + jnp.sum(s ** 2)
+
+    g_pl = jax.grad(loss_chain, argnums=tuple(range(6)))(
+        q, k, v, beta, alpha, s0)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(
+        q, k, v, beta, alpha, s0)
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
