@@ -20,14 +20,20 @@ def dice_accumulate(logits: jax.Array, labels: jax.Array,
 
     Returns dict with 'inter', 'psum', 'lsum' each (K,) fp32, plus 'frames'.
     """
-    pred = jnp.argmax(logits, axis=-1)                 # (B,T,H,W)
-    v = valid[..., None, None]                         # (B,T,1,1)
+    # Class-major layout: K on the minor (lane) dim runs elementwise math at
+    # K/128 lane utilization (same fix as train/losses.py — measured there).
+    lg = jnp.transpose(logits, (0, 1, 4, 2, 3))        # (B,T,K,H,W)
+    pred = jnp.argmax(lg, axis=2)                      # (B,T,H,W)
+    classes = jnp.arange(num_classes, dtype=jnp.int32).reshape(
+        1, 1, num_classes, 1, 1)
+    v = valid[:, :, None, None, None]                  # (B,T,1,1,1)
+    pred1 = (pred[:, :, None] == classes).astype(jnp.float32) * v
+    lab1 = (labels[:, :, None].astype(jnp.int32) == classes
+            ).astype(jnp.float32) * v
     acc = {}
-    pred1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32) * v[..., None]
-    lab1 = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * v[..., None]
-    acc["inter"] = jnp.sum(pred1 * lab1, axis=(0, 1, 2, 3))
-    acc["psum"] = jnp.sum(pred1, axis=(0, 1, 2, 3))
-    acc["lsum"] = jnp.sum(lab1, axis=(0, 1, 2, 3))
+    acc["inter"] = jnp.sum(pred1 * lab1, axis=(0, 1, 3, 4))
+    acc["psum"] = jnp.sum(pred1, axis=(0, 1, 3, 4))
+    acc["lsum"] = jnp.sum(lab1, axis=(0, 1, 3, 4))
     acc["frames"] = jnp.sum(valid)
     return acc
 
