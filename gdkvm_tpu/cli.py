@@ -62,7 +62,8 @@ def cmd_eval(argv) -> int:
                                                "checkpoints")
     ckpt = CheckpointManager(ckpt_dir)
     state = ckpt.restore(jax.device_get(state))
-    params = jax.device_put(state.params)   # pin restored host tree once
+    from gdkvm_tpu.train.loop import eval_params
+    params = jax.device_put(eval_params(state, cfg))  # pin host tree once
     metrics = evaluate(cfg, model, params, mesh, step=int(state.step))
     print(json.dumps(metrics))
     return 0
@@ -153,9 +154,10 @@ def cmd_stream_eval(argv) -> int:
         state = create_train_state(cfg, model, make_optimizer(cfg),
                                    jax.random.PRNGKey(0))
         state = CheckpointManager(ckpt_dir).restore(jax.device_get(state))
+        from gdkvm_tpu.train.loop import eval_params
         # Restored trees are host numpy: pin to device once, or every
         # dispatch re-transfers the whole param tree.
-        params = jax.device_put(state.params)
+        params = jax.device_put(eval_params(state, cfg))
     else:
         params = init_params(model, jax.random.PRNGKey(0),
                              cfg.data.image_size)

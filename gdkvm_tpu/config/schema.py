@@ -86,6 +86,12 @@ class TrainConfig:
     # First-frame mask prompting probability during training (0 disables).
     prompt_prob: float = 0.5
     remat: bool = False                # jax.checkpoint over the frame scan
+    # Polyak/EMA averaging of params (0 disables).  When on, eval and the
+    # eval/stream-eval CLIs score the EMA weights (eval_stage.use_ema).
+    ema_decay: float = 0.0
+    # Gradient accumulation: average grads over k micro-steps before one
+    # optimizer update (effective batch = batch_size × accum_steps).
+    accum_steps: int = 1
 
 
 @dataclass
@@ -95,6 +101,7 @@ class EvalStageConfig:
     batch_size: int = 1
     stream_chunk: int = 16             # frames per device call in streaming
     streams: int = 1                   # videos in flight (serving mode)
+    use_ema: bool = True               # score EMA weights when available
 
 
 @dataclass

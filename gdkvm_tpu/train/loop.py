@@ -43,6 +43,16 @@ class TrainState:
     params: Any
     opt_state: Any
     rng: jax.Array
+    # Polyak/EMA shadow of params (None when train.ema_decay == 0, keeping
+    # the checkpoint tree — and old checkpoints — unchanged).
+    ema_params: Any = None
+
+
+def eval_params(state: TrainState, cfg: Config):
+    """Parameters to score: the EMA shadow when tracked and requested."""
+    if state.ema_params is not None and cfg.eval_stage.use_ema:
+        return state.ema_params
+    return state.params
 
 
 def normalize_frames(frames_u8: jax.Array) -> jax.Array:
@@ -59,10 +69,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         # optax requires decay_steps > warmup_steps (total, not post-warmup).
         decay_steps=max(t.num_iterations, warmup + 1),
         end_value=t.learning_rate * 0.05)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(t.grad_clip),
         optax.adamw(schedule, weight_decay=t.weight_decay),
     )
+    if t.accum_steps > 1:
+        # Average grads over k micro-steps, apply one update (effective
+        # batch = batch_size × accum_steps); replaces nothing in the
+        # reference (its DDP recipe is single-step) but covers its
+        # capability of scaling effective batch beyond device memory.
+        tx = optax.MultiSteps(tx, every_k_schedule=t.accum_steps)
+    return tx
 
 
 def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
@@ -103,8 +120,14 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)
+        ema = state.ema_params
+        if ema is not None:
+            d = jnp.float32(t.ema_decay)
+            ema = jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e),
+                               ema, params)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, rng=state.rng)
+                               opt_state=opt_state, rng=state.rng,
+                               ema_params=ema)
         return new_state, metrics
 
     return step_fn
@@ -116,8 +139,9 @@ def create_train_state(cfg: Config, model: GDKVM,
     params = init_params(model, rng, cfg.data.image_size,
                          clip_len=2, batch=1)
     opt_state = tx.init(params)
+    ema = jax.tree.map(jnp.copy, params) if cfg.train.ema_decay > 0 else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=opt_state, rng=rng)
+                      opt_state=opt_state, rng=rng, ema_params=ema)
 
 
 def train(cfg: Config, *, max_steps: Optional[int] = None,
@@ -154,6 +178,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             jax.tree.map(lambda _: replicated(mesh), state.opt_state,
                          is_leaf=lambda x: isinstance(x, jnp.ndarray))),
         rng=jax.device_put(state.rng, replicated(mesh)),
+        ema_params=(None if state.ema_params is None
+                    else jax.device_put(state.ema_params, p_shard)),
     )
 
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
@@ -205,8 +231,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             if (step_idx + 1) % cfg.train.eval_every == 0 or \
                     step_idx + 1 == total:
                 with trace_annotation("eval_stage"):
-                    last_eval = evaluate(cfg, model, state.params, mesh,
-                                         step=step_idx + 1)
+                    last_eval = evaluate(cfg, model, eval_params(state, cfg),
+                                         mesh, step=step_idx + 1)
                 logger.log(step_idx + 1, {f"eval/{k}": v
                                           for k, v in last_eval.items()})
                 timer.reset_window()

@@ -131,3 +131,100 @@ def test_resume_equals_straight_run(tmp_path):
     pa, pb = ma.restore(tpl).params, mb.restore(tpl).params
     ma.close(); mb.close()
     jax.tree.map(np.testing.assert_array_equal, pa, pb)
+
+
+def test_ema_tracking_and_eval_params():
+    """EMA shadow follows params with the Polyak update and is preferred by
+    eval_params when enabled."""
+    from gdkvm_tpu.train.loop import eval_params
+    cfg = smoke_cfg(**{"train.ema_decay": 0.9, "num_iterations": 10,
+                       "data.image_size": 32, "data.clip_len": 2})
+    model = GDKVM(cfg=cfg.model)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+    assert state.ema_params is not None
+    p0 = jax.device_get(state.params)
+    ds = make_dataset(cfg.data, "train", cfg.model.num_classes)
+    frames, masks, valid = ds[0]
+    batch = Batch(frames=jnp.asarray(frames)[None],
+                  masks=jnp.asarray(masks)[None],
+                  valid=jnp.asarray(valid)[None])
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    # Run past LR warmup (schedule starts at 0) so params actually move;
+    # track the expected shadow alongside.
+    ema_ref = p0
+    for _ in range(3):
+        state, _ = step(state, batch)
+        p = jax.device_get(state.params)
+        ema_ref = jax.tree.map(lambda e, q: e + 0.1 * (q - e), ema_ref, p)
+    e = jax.device_get(state.ema_params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
+                                                         atol=1e-7),
+                 e, ema_ref)
+    # Non-trivial: params moved and the shadow lags them.
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), p0, p)))
+    lag = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), e, p)))
+    assert moved > 0.0 and lag > 0.0
+    assert eval_params(state, cfg) is state.ema_params
+    cfg.eval_stage.use_ema = False
+    assert eval_params(state, cfg) is state.params
+    # Disabled: no shadow tracked, checkpoint tree unchanged.
+    cfg2 = smoke_cfg()
+    s2 = create_train_state(cfg2, model, make_optimizer(cfg2),
+                            jax.random.PRNGKey(0))
+    assert s2.ema_params is None
+    assert eval_params(s2, cfg2) is s2.params
+
+
+def test_gradient_accumulation_effective_batch():
+    """accum_steps=2: params frozen on the first micro-step, and the
+    post-accumulation update equals a single step on the averaged batch."""
+    cfg_a = smoke_cfg(**{"train.accum_steps": 2, "train.prompt_prob": 0.0,
+                         "data.image_size": 32, "data.clip_len": 2,
+                         "train.grad_clip": 1e9})
+    model = GDKVM(cfg=cfg_a.model)
+    tx_a = make_optimizer(cfg_a)
+    state_a = create_train_state(cfg_a, model, tx_a, jax.random.PRNGKey(0))
+    ds = make_dataset(cfg_a.data, "train", cfg_a.model.num_classes)
+    f0, m0, v0 = ds[0]
+    f1, m1, v1 = ds[1 % len(ds)]
+    b0 = Batch(frames=jnp.asarray(f0)[None], masks=jnp.asarray(m0)[None],
+               valid=jnp.asarray(v0)[None])
+    b1 = Batch(frames=jnp.asarray(f1)[None], masks=jnp.asarray(m1)[None],
+               valid=jnp.asarray(v1)[None])
+    step_a = jax.jit(make_train_step(model, tx_a, cfg_a))
+    p_init = jax.device_get(state_a.params)
+    # Two full accumulation cycles (the LR schedule warms up from 0, so the
+    # first applied update is a no-op; the second moves params).
+    s = state_a
+    for i in range(4):
+        s, _ = step_a(s, b0 if i % 2 == 0 else b1)
+        if i == 0:
+            # Mid-accumulation: update is withheld.
+            jax.tree.map(np.testing.assert_array_equal, p_init,
+                         jax.device_get(s.params))
+    p_end = jax.device_get(s.params)
+    changed = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), p_init, p_end))
+    assert max(changed) > 0.0                                   # applied
+    # Equivalent two steps on the concatenated (batch-2) data.  Grad of
+    # the mean loss over the stacked batch equals the mean of per-clip
+    # grads (both clips fully valid), which is what MultiSteps applies.
+    # prompt_prob=0 keeps the step deterministic and batch-independent.
+    cfg_b = smoke_cfg(**{"train.prompt_prob": 0.0,
+                         "data.image_size": 32, "data.clip_len": 2,
+                         "train.grad_clip": 1e9})
+    tx_b = make_optimizer(cfg_b)
+    state_b = create_train_state(cfg_b, model, tx_b, jax.random.PRNGKey(0))
+    bb = Batch(frames=jnp.concatenate([b0.frames, b1.frames]),
+               masks=jnp.concatenate([b0.masks, b1.masks]),
+               valid=jnp.concatenate([b0.valid, b1.valid]))
+    step_b = jax.jit(make_train_step(model, tx_b, cfg_b))
+    s_ref, _ = step_b(state_b, bb)
+    s_ref, _ = step_b(s_ref, bb)
+    p_ref = jax.device_get(s_ref.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4,
+                                                         atol=5e-6),
+                 p_end, p_ref)
