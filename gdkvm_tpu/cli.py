@@ -216,6 +216,88 @@ def cmd_pack(argv) -> int:
     return 0
 
 
+def cmd_export(argv) -> int:
+    """Export a trained model as a self-contained StableHLO serving
+    artifact (frames-in → logits+state-out, params baked in)."""
+    import os
+    import jax
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.io.checkpoint import CheckpointManager
+    from gdkvm_tpu.io.export import save_artifact
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+    from gdkvm_tpu.train.loop import create_train_state, eval_params, \
+        make_optimizer
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm export")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (defaults to <run_dir>/checkpoints; "
+                        "untrained init if absent)")
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--image-size", type=int, default=None,
+                   help="default: data.image_size")
+    p.add_argument("--platforms", default=None,
+                   help="comma list, e.g. tpu,cpu (needs gdr_impl=chunked)")
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+
+    model = GDKVM(cfg=cfg.model)
+    ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
+                                               "checkpoints")
+    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        state = create_train_state(cfg, model, make_optimizer(cfg),
+                                   jax.random.PRNGKey(0))
+        state = CheckpointManager(ckpt_dir).restore(jax.device_get(state))
+        params = eval_params(state, cfg)
+    else:
+        params = init_params(model, jax.random.PRNGKey(0),
+                             cfg.data.image_size)
+    platforms = args.platforms.split(",") if args.platforms else None
+    meta = save_artifact(args.out, model, params,
+                         image_size=args.image_size or cfg.data.image_size,
+                         chunk=args.chunk, batch=args.batch,
+                         platforms=platforms)
+    print(json.dumps({"out": args.out, "blob_bytes": meta["blob_bytes"],
+                      "platforms": meta["platforms"],
+                      "signature": meta["signature"]}))
+    return 0
+
+
+def cmd_serve_check(argv) -> int:
+    """Load an exported artifact and run a random chunk through it."""
+    import time
+    import numpy as np
+    import jax
+    from gdkvm_tpu.io.export import load_artifact
+
+    p = argparse.ArgumentParser(prog="gdkvm serve-check")
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--chunks", type=int, default=4)
+    args = p.parse_args(argv)
+    sm = load_artifact(args.artifact)
+    sig = sm.meta["signature"]
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, sig["frames_u8"], np.uint8)
+    mem, seen = sm.init_state()
+    logits = None
+    t0 = time.perf_counter()
+    for _ in range(args.chunks):
+        logits, mem, seen = sm.step(frames, mem, seen)
+    jax.device_get(seen)
+    dt = time.perf_counter() - t0
+    n_frames = args.chunks * sig["frames_u8"][0] * sig["frames_u8"][1]
+    print(json.dumps({
+        "ok": bool(np.isfinite(jax.device_get(logits)).all()),
+        "logits_shape": list(logits.shape),
+        "frames_seen": jax.device_get(seen).tolist(),
+        "frames_per_sec_incl_compile": round(n_frames / dt, 1),
+    }))
+    return 0
+
+
 def cmd_convert_camus(argv) -> int:
     """Convert raw CAMUS (MetaImage .mhd) into the processed PNG layout."""
     from gdkvm_tpu.data.camus_raw import convert_raw_camus
@@ -243,6 +325,8 @@ _COMMANDS = {
     "scale": cmd_scale,
     "pack": cmd_pack,
     "convert-camus": cmd_convert_camus,
+    "export": cmd_export,
+    "serve-check": cmd_serve_check,
 }
 
 
