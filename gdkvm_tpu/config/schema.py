@@ -67,6 +67,13 @@ class DataConfig:
     # equals reset-state (the memory goes unused).
     occlude_prob: float = 0.0
     seed: int = 0
+    # HBM-resident dataset cache (data/device_cache.py): upload the whole
+    # training split once, sample+augment on device — zero per-step host
+    # transfer (the host link costs ~55 ms + bytes/60MB/s per batch on the
+    # dev setup; the 256² recipe step is 36 ms).  auto = on when the split
+    # fits device_cache_max_mb.
+    device_cache: str = "auto"         # auto | on | off
+    device_cache_max_mb: int = 2048
 
 
 @dataclass

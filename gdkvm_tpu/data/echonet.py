@@ -61,6 +61,10 @@ def _fill_trace_mask(xs1, ys1, xs2, ys2, hw: Tuple[int, int]) -> np.ndarray:
 class EchoNetDataset:
     """Clip sampler over EchoNet videos with per-frame validity flags."""
 
+    # __getitem__ draws a RANDOM clip window per access: the HBM device
+    # cache must not snapshot it (data/device_cache.py resolve rules).
+    stochastic_items = True
+
     def __init__(self, root: str, split: str = "train",
                  image_size: int = 112, clip_len: int = 16,
                  num_classes: int = 2, seed: int = 0):
@@ -102,6 +106,27 @@ class EchoNetDataset:
 
     def __len__(self) -> int:
         return len(self.videos)
+
+    def full_video(self, idx: int
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Whole video with per-frame masks/validity — the HBM video-cache
+        build path (data/device_cache.py): window sampling then happens on
+        device, preserving __getitem__'s random-window distribution.
+
+        Returns (frames (F,H,W,1) u8, masks (F,H,W) u8, valid (F,) f32).
+        """
+        name = self.videos[idx]
+        video = self.decode_video(name)
+        f = video.shape[0]
+        masks = np.zeros((f, self.image_size, self.image_size), np.uint8)
+        valid = np.zeros((f,), np.float32)
+        for t in sorted(self.traces.get(name, {}).keys()):
+            if 0 <= t < f:
+                m = self.mask_for(name, int(t), video.shape[1:3])
+                if m is not None:
+                    masks[t] = m
+                    valid[t] = 1.0
+        return video, masks, valid
 
     def decode_video(self, name: str) -> np.ndarray:
         """Decode a full video → (T, H, W, 1) uint8 at image_size."""

@@ -83,8 +83,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
-                    cfg: Config):
-    """Build the (jittable) train step: loss → grads → update → metrics."""
+                    cfg: Config, *, from_cache: bool = False, mesh=None):
+    """Build the (jittable) train step: loss → grads → update → metrics.
+
+    With ``from_cache`` the second argument is an HBM-resident
+    DeviceDataset instead of a Batch: the batch is sampled + augmented on
+    device inside the step (data/device_cache.py) — zero per-step host
+    transfer.
+    """
     t = cfg.train
 
     def fwd(params, frames, prompt_mask, prompt_w):
@@ -97,8 +103,30 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
 
     def step_fn(state: TrainState, batch: Batch
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        rng, prompt_rng = jax.random.split(
-            jax.random.fold_in(state.rng, state.step))
+        if from_cache:
+            from gdkvm_tpu.data import device_cache as dc
+            data_rng, prompt_rng = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(state.rng, 17),
+                                   state.step))
+            if isinstance(batch, dc.VideoDeviceCache):
+                batch = dc.sample_video_batch(
+                    batch, data_rng, t.batch_size, cfg.data.clip_len,
+                    augment=cfg.data.augment,
+                    occlude_prob=cfg.data.occlude_prob)
+            else:
+                batch = dc.sample_batch(batch, data_rng, t.batch_size,
+                                        augment=cfg.data.augment,
+                                        occlude_prob=cfg.data.occlude_prob)
+            if mesh is not None and mesh.devices.size > 1:
+                sh = batch_sharding(mesh)
+                batch = Batch(
+                    frames=jax.lax.with_sharding_constraint(
+                        batch.frames, sh),
+                    masks=jax.lax.with_sharding_constraint(batch.masks, sh),
+                    valid=jax.lax.with_sharding_constraint(batch.valid, sh))
+        else:
+            _, prompt_rng = jax.random.split(
+                jax.random.fold_in(state.rng, state.step))
         frames = normalize_frames(batch.frames)
         b = frames.shape[0]
         # Stochastic first-frame prompting: only where frame 0 has GT.
@@ -190,18 +218,32 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             state = ckpt.restore(state)
             start_step = int(jax.device_get(state.step))
 
-    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
-
     dataset = make_dataset(cfg.data, cfg.data.train_split,
                            cfg.model.num_classes)
-    it = batch_iterator(dataset, cfg.train.batch_size, shuffle=True,
-                        augment=cfg.data.augment,
-                        occlude_prob=cfg.data.occlude_prob,
-                        seed=cfg.data.seed,
-                        num_workers=cfg.data.num_workers,
-                        start_step=start_step)
-    it = prefetch_to_device(it, size=cfg.data.prefetch,
-                            sharding=batch_sharding(mesh))
+    from gdkvm_tpu.data import device_cache as dc
+    cache_mode = dc.resolve_cache_mode(cfg.data, dataset)
+    if cache_mode != "off":
+        # One bulk upload; batches are sampled+augmented inside the step.
+        if cache_mode == "video":
+            cache = dc.build_video_cache(dataset, cfg.data.clip_len,
+                                         replicated(mesh))
+        else:
+            cache = dc.build_device_cache(dataset, replicated(mesh))
+        train_step = jax.jit(
+            make_train_step(model, tx, cfg, from_cache=True, mesh=mesh),
+            donate_argnums=0)
+        it = None
+    else:
+        train_step = jax.jit(make_train_step(model, tx, cfg),
+                             donate_argnums=0)
+        it = batch_iterator(dataset, cfg.train.batch_size, shuffle=True,
+                            augment=cfg.data.augment,
+                            occlude_prob=cfg.data.occlude_prob,
+                            seed=cfg.data.seed,
+                            num_workers=cfg.data.num_workers,
+                            start_step=start_step)
+        it = prefetch_to_device(it, size=cfg.data.prefetch,
+                                sharding=batch_sharding(mesh))
 
     total = max_steps if max_steps is not None else cfg.train.num_iterations
     last_eval: Dict[str, float] = {}
@@ -212,7 +254,7 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
 
     with mesh, maybe_profile(trace_dir):
         for step_idx in range(start_step, total):
-            batch = next(it)
+            batch = cache if it is None else next(it)
             with trace_annotation("train_step"):
                 state, metrics = train_step(state, batch)
             timer.lap(metrics["loss"])

@@ -33,48 +33,54 @@ def maybe_profile(trace_dir: Optional[str]) -> Iterator[None]:
 
 
 class StepTimer:
-    """Fetch-forced step timing with compile-step exclusion.
+    """Window-granular, fetch-forced step timing with compile exclusion.
 
-    Pass a (small) result array to lap(): it is fetched to host, which is
-    the only reliable way to wait for execution on remote-dispatch
-    platforms (block_until_ready can return at dispatch-ack).
+    Per-step host synchronization is poison on remote-dispatch platforms:
+    fetching the loss every step costs a full round trip per step and
+    serializes the pipeline (measured: a 36 ms device step ran at 134 ms
+    end-to-end with a per-step fetch — the fetch, not compute, set the
+    pace).  So laps are free (just counters); execution is forced only at
+    window boundaries — ``stats()`` is called right after the caller
+    fetches its (small) metrics for logging, which transitively waits for
+    every step dispatched in the window.  Window seconds / window laps is
+    then true pipelined throughput, with one round trip amortized over the
+    whole window.
 
-    The first `skip` laps (compilation) are excluded from the average —
-    the reference-shaped metrics log otherwise reports compile time as
-    throughput (seen: 0.03 steps/s at step 1 vs ~25 steady-state).
+    The first ``skip`` laps (compilation) ARE fetched, then excluded by
+    restarting the window clock — otherwise the first window reports
+    compile time as throughput (seen: 0.03 steps/s at step 1 vs ~25
+    steady-state).
     """
 
     def __init__(self, skip: int = 1):
         self.skip = skip
         self._laps = 0
+        self._window_laps = 0
         self._t0 = time.perf_counter()
-        self._acc = 0.0
-        self._count = 0
 
-    def lap(self, result=None) -> Optional[float]:
-        """Mark a step boundary; returns the lap seconds (None if skipped)."""
-        if result is not None:
-            jax.device_get(result)
-        now = time.perf_counter()
-        dt = now - self._t0
-        self._t0 = now
+    def lap(self, result=None) -> None:
+        """Mark a step boundary.  ``result`` is fetched ONLY during the
+        first ``skip`` (compile) laps, to absorb compilation into the
+        excluded region; afterwards it is ignored — no per-step sync."""
         self._laps += 1
         if self._laps <= self.skip:
-            return None
-        self._acc += dt
-        self._count += 1
-        return dt
+            if result is not None:
+                jax.device_get(result)
+            self._t0 = time.perf_counter()
+            return
+        self._window_laps += 1
 
     def stats(self) -> Dict[str, float]:
-        if not self._count:
+        """Window throughput.  Call immediately AFTER fetching step results
+        (e.g. jax.device_get(metrics)) so the window is execution-forced."""
+        if not self._window_laps:
             # Degenerate window (all laps were compile-skipped): report
             # nothing rather than 0.0 / Infinity — `Infinity` is not valid
             # JSON and poisons the metrics log.
             return {}
-        sec = self._acc / self._count
+        sec = (time.perf_counter() - self._t0) / self._window_laps
         return {"steps_per_sec": 1.0 / sec, "sec_per_step": sec}
 
     def reset_window(self) -> None:
-        self._acc = 0.0
-        self._count = 0
+        self._window_laps = 0
         self._t0 = time.perf_counter()
