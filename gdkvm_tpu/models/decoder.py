@@ -107,4 +107,7 @@ class Decoder(nn.Module):
         logits4 = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                           name="head")(d4)
         # Predict at stride 4, bilinear-upsample logits to full resolution.
+        # (A class-major resize variant was A/B'd and is timing-neutral —
+        # XLA already relayouts jax.image.resize; unlike the elementwise
+        # loss math, no K-minor lane penalty here.)
         return resize_bilinear(logits4.astype(jnp.float32), out_hw)
