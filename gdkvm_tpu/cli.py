@@ -216,6 +216,59 @@ def cmd_pack(argv) -> int:
     return 0
 
 
+def cmd_infer(argv) -> int:
+    """Run a trained model (or exported artifact) on a cine file: AVI/MP4,
+    raw CAMUS .mhd, or a directory of PNG frames → masks.npz + overlays."""
+    import os
+    import jax
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.eval.infer import load_frames, run_inference
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm infer")
+    p.add_argument("--config", default=None)
+    p.add_argument("--input", required=True,
+                   help=".avi/.mp4, .mhd, or a directory of PNG frames")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (defaults to <run_dir>/checkpoints)")
+    p.add_argument("--artifact", default=None,
+                   help="exported StableHLO artifact dir (replaces "
+                        "checkpoint+model)")
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--overlay-every", type=int, default=0,
+                   help="write an overlay PNG every N frames (0 = none)")
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+    frames = load_frames(args.input, cfg.data.image_size)
+
+    if args.artifact:
+        summary = run_inference(frames, args.out, artifact=args.artifact,
+                                overlay_every=args.overlay_every)
+    else:
+        from gdkvm_tpu.io.checkpoint import CheckpointManager
+        from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+        from gdkvm_tpu.train.loop import create_train_state, eval_params, \
+            make_optimizer
+        model = GDKVM(cfg=cfg.model)
+        ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
+                                                   "checkpoints")
+        if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+            state = create_train_state(cfg, model, make_optimizer(cfg),
+                                       jax.random.PRNGKey(0))
+            state = CheckpointManager(ckpt_dir).restore(
+                jax.device_get(state))
+            params = jax.device_put(eval_params(state, cfg))
+        else:
+            params = init_params(model, jax.random.PRNGKey(0),
+                                 cfg.data.image_size)
+        summary = run_inference(frames, args.out, model=model,
+                                params=params, chunk=args.chunk,
+                                overlay_every=args.overlay_every)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_export(argv) -> int:
     """Export a trained model as a self-contained StableHLO serving
     artifact (frames-in → logits+state-out, params baked in)."""
@@ -327,6 +380,7 @@ _COMMANDS = {
     "convert-camus": cmd_convert_camus,
     "export": cmd_export,
     "serve-check": cmd_serve_check,
+    "infer": cmd_infer,
 }
 
 
