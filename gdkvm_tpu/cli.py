@@ -80,7 +80,8 @@ def cmd_bench(argv) -> int:
     flags, overrides = _split_args(argv)
     p = argparse.ArgumentParser(prog="gdkvm bench")
     p.add_argument("--config", default=None)
-    p.add_argument("--mode", choices=("stream", "train"), default="stream")
+    p.add_argument("--mode", choices=("stream", "train", "latency"),
+                   default="stream")
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--image-size", type=int, default=112)
@@ -88,7 +89,12 @@ def cmd_bench(argv) -> int:
     cfg = load_config(args.config, overrides)
 
     model = GDKVM(cfg=cfg.model)
-    if args.mode == "train":
+    if args.mode == "latency":
+        from gdkvm_tpu.eval.throughput import measure_streaming_latency
+        params = init_params(model, jax.random.PRNGKey(0), args.image_size)
+        result = measure_streaming_latency(
+            model, params, image_size=args.image_size, chunk=args.chunk)
+    elif args.mode == "train":
         from gdkvm_tpu.data.pipeline import Batch
         from gdkvm_tpu.train.loop import create_train_state, \
             make_optimizer, make_train_step

@@ -99,6 +99,51 @@ def measure_streaming_fps(model: GDKVM, params, *, image_size: int = 112,
     }
 
 
+def measure_streaming_latency(model: GDKVM, params, *,
+                              image_size: int = 112, chunk: int = 1,
+                              warmup: int = 5, timed: int = 50,
+                              seed: int = 0) -> Dict[str, float]:
+    """Per-call serving LATENCY (distinct from throughput): one chunk in,
+    masks fetched out, synchronously — submit-to-result round trip
+    including host↔device transport, which is what a live scanner feed
+    experiences.  chunk=1 gives per-frame latency.  Note: on the tunneled
+    dev setup the transport floor is ~0.6 ms/call; on a local TPU host it
+    is tens of µs.  Reports percentiles over ``timed`` calls.
+    """
+    rng = np.random.default_rng(seed)
+    host = rng.integers(0, 255, (1, chunk, image_size, image_size, 1),
+                        np.uint8)
+
+    def step_fn(params, frames_u8, state):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        logits, new_state = model.apply(params, x, state)
+        masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        return jnp.sum(masks.astype(jnp.int32)), new_state
+
+    step = jax.jit(step_fn)
+    checksum, state = step(params, jnp.asarray(host), None)
+    np.asarray(checksum)                      # init-signature compile+run
+    lats = []
+    for i in range(warmup + timed):
+        t0 = time.perf_counter()
+        checksum, state = step(params, jax.device_put(host), state)
+        np.asarray(checksum)                  # full round trip per call
+        if i >= warmup:
+            lats.append(time.perf_counter() - t0)
+    lats_ms = np.asarray(lats) * 1e3
+    return {
+        "chunk": chunk,
+        "image_size": image_size,
+        "calls": timed,
+        "latency_ms_p50": float(np.percentile(lats_ms, 50)),
+        "latency_ms_p95": float(np.percentile(lats_ms, 95)),
+        "latency_ms_p99": float(np.percentile(lats_ms, 99)),
+        "latency_ms_mean": float(lats_ms.mean()),
+        "latency_ms_per_frame_p50": float(np.percentile(lats_ms, 50)
+                                          / chunk),
+    }
+
+
 def measure_train_step_time(train_step, state, batch,
                             warmup: int = 2, timed: int = 10
                             ) -> Dict[str, float]:

@@ -26,3 +26,24 @@ def test_bench_prints_one_json_line():
     assert rec["metric"] == "echonet_streaming_frames_per_sec_per_chip"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
     assert rec["unit"] == "frames/sec"
+
+
+def test_latency_bench_mode():
+    """gdkvm bench --mode latency: reports per-call percentiles."""
+    import json
+    from gdkvm_tpu.cli import main
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["bench", "--mode", "latency", "--chunk", "2",
+                   "--image-size", "32",
+                   "model.enc_channels=[8,16,24,32]",
+                   "model.enc_blocks=[1,1,1,1]", "model.num_heads=2",
+                   "model.head_dim_k=16", "model.head_dim_v=16",
+                   "model.kpff_channels=[24,16,8]",
+                   "model.compute_dtype=float32"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["chunk"] == 2 and out["calls"] > 0
+    assert 0 < out["latency_ms_p50"] <= out["latency_ms_p99"]
+    assert out["latency_ms_per_frame_p50"] <= out["latency_ms_p50"]
