@@ -93,7 +93,8 @@ def cmd_bench(argv) -> int:
         from gdkvm_tpu.eval.throughput import measure_streaming_latency
         params = init_params(model, jax.random.PRNGKey(0), args.image_size)
         result = measure_streaming_latency(
-            model, params, image_size=args.image_size, chunk=args.chunk)
+            model, params, image_size=args.image_size, chunk=args.chunk,
+            batch=args.batch)
     elif args.mode == "train":
         from gdkvm_tpu.data.pipeline import Batch
         from gdkvm_tpu.train.loop import create_train_state, \
@@ -246,9 +247,12 @@ def cmd_infer(argv) -> int:
                    help="write an overlay PNG every N frames (0 = none)")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
-    frames = load_frames(args.input, cfg.data.image_size)
 
     if args.artifact:
+        # Decode at the size the artifact was exported for, not the
+        # config's — the exported program has a fixed input signature.
+        from gdkvm_tpu.eval.infer import artifact_image_size
+        frames = load_frames(args.input, artifact_image_size(args.artifact))
         summary = run_inference(frames, args.out, artifact=args.artifact,
                                 overlay_every=args.overlay_every)
     else:
@@ -256,6 +260,7 @@ def cmd_infer(argv) -> int:
         from gdkvm_tpu.models.gdkvm import GDKVM, init_params
         from gdkvm_tpu.train.loop import create_train_state, eval_params, \
             make_optimizer
+        frames = load_frames(args.input, cfg.data.image_size)
         model = GDKVM(cfg=cfg.model)
         ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
                                                    "checkpoints")
@@ -339,7 +344,9 @@ def cmd_serve_check(argv) -> int:
     sm = load_artifact(args.artifact)
     sig = sm.meta["signature"]
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, sig["frames_u8"], np.uint8)
+    # Stage once explicitly (CLAUDE.md rule 8: never let jit upload numpy).
+    frames = jax.device_put(
+        rng.integers(0, 255, sig["frames_u8"], np.uint8))
     mem, seen = sm.init_state()
     logits = None
     t0 = time.perf_counter()

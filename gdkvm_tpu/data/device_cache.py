@@ -58,12 +58,21 @@ def dataset_nbytes(dataset) -> int:
     return per_clip * len(dataset)
 
 
-def video_nbytes_estimate(dataset) -> int:
-    """Estimated resident size of a full-video cache (first video's length
-    taken as typical — exact max-length padding is only known after
-    decoding everything)."""
-    f, m, v = dataset.full_video(0)
-    return (f.nbytes + m.nbytes + v.nbytes) * len(dataset)
+def video_nbytes_estimate(dataset, sample: int = 4) -> int:
+    """Estimated resident size of a full-video cache.  Every video is
+    padded to the MAXIMUM length at build time, so the estimate uses the
+    max length over a small sample of videos (exact F_max is only known
+    after decoding everything); build_video_cache re-checks the true size
+    against the limit before uploading."""
+    n = len(dataset)
+    stride = max(n // min(sample, n), 1)
+    per_frame = 0
+    f_max = 0
+    for i in list(range(0, n, stride))[:sample]:
+        f, m, v = dataset.full_video(i)
+        f_max = max(f_max, f.shape[0])
+        per_frame = (f.nbytes + m.nbytes) // max(f.shape[0], 1) + 4
+    return per_frame * f_max * n
 
 
 def resolve_cache_mode(data_cfg, dataset) -> str:
@@ -134,12 +143,16 @@ class VideoDeviceCache:
     n_traced: jax.Array
 
 
-def build_video_cache(dataset, clip_len: int,
-                      sharding=None) -> VideoDeviceCache:
+def build_video_cache(dataset, clip_len: int, sharding=None,
+                      max_bytes: Optional[int] = None
+                      ) -> Optional[VideoDeviceCache]:
     """Decode every video once (the only host pass), pad, upload.
 
     Videos shorter than clip_len are tiled up to it so any window is
-    in-bounds.
+    in-bounds.  When ``max_bytes`` is set, the TRUE padded size (known
+    after decoding — the pre-upload estimate can undershoot when lengths
+    vary) is checked before upload; returns None over budget so the
+    caller can fall back to the host pipeline instead of OOMing HBM.
     """
     frames, masks, valid = [], [], []
     for i in range(len(dataset)):
@@ -173,6 +186,15 @@ def build_video_cache(dataset, clip_len: int,
         masks=np.stack([pad_to(x, f_max) for x in masks]),
         valid=np.stack([pad_to(x, f_max) for x in valid]),
         length=length, traced_idx=traced_idx, n_traced=n_traced)
+    if max_bytes is not None:
+        total = sum(x.nbytes for x in jax.tree.leaves(host))
+        if total > max_bytes:
+            import warnings
+            warnings.warn(
+                f"video cache padded size {total/2**20:.0f} MB exceeds "
+                f"device_cache_max_mb ({max_bytes/2**20:.0f} MB) — "
+                f"falling back to the host pipeline")
+            return None
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
         else jax.device_put
     return jax.tree.map(put, host)

@@ -100,6 +100,12 @@ def infer_video_artifact(art_dir: str, frames: np.ndarray) -> np.ndarray:
     sm = load_artifact(art_dir)
     if sm.batch != 1:
         raise ValueError(f"infer needs a batch-1 artifact, got {sm.batch}")
+    sig_hw = tuple(sm.meta["signature"]["frames_u8"][2:4])
+    if frames.shape[1:3] != sig_hw:
+        raise ValueError(
+            f"frames are {frames.shape[1:3]} but the artifact was exported "
+            f"for {sig_hw} — decode with the artifact's image size "
+            f"(gdkvm infer does this automatically)")
     chunk = sm.chunk
     mem, seen = sm.init_state()
     f = frames.shape[0]
@@ -109,10 +115,19 @@ def infer_video_artifact(art_dir: str, frames: np.ndarray) -> np.ndarray:
         t = part.shape[0]
         if t < chunk:
             part = np.pad(part, ((0, chunk - t), (0, 0), (0, 0), (0, 0)))
-        logits, mem, seen = sm.step(part[None], mem, seen)
+        # Explicit async staging (CLAUDE.md rule 8): a numpy arg passed
+        # straight to the jitted exported call uploads ~60× slower.
+        dev = jax.device_put(part[None])
+        logits, mem, seen = sm.step(dev, mem, seen)
         masks.append(np.asarray(jax.device_get(logits))[0, :t].argmax(-1)
                      .astype(np.uint8))
     return np.concatenate(masks)
+
+
+def artifact_image_size(art_dir: str) -> int:
+    """Input H (=W) the artifact was exported for (from meta.json)."""
+    with open(os.path.join(art_dir, "meta.json")) as fp:
+        return int(json.load(fp)["signature"]["frames_u8"][2])
 
 
 def run_inference(frames: np.ndarray, out_dir: str, *, model=None,

@@ -101,6 +101,7 @@ def measure_streaming_fps(model: GDKVM, params, *, image_size: int = 112,
 
 def measure_streaming_latency(model: GDKVM, params, *,
                               image_size: int = 112, chunk: int = 1,
+                              batch: int = 1,
                               warmup: int = 5, timed: int = 50,
                               seed: int = 0) -> Dict[str, float]:
     """Per-call serving LATENCY (distinct from throughput): one chunk in,
@@ -111,7 +112,7 @@ def measure_streaming_latency(model: GDKVM, params, *,
     is tens of µs.  Reports percentiles over ``timed`` calls.
     """
     rng = np.random.default_rng(seed)
-    host = rng.integers(0, 255, (1, chunk, image_size, image_size, 1),
+    host = rng.integers(0, 255, (batch, chunk, image_size, image_size, 1),
                         np.uint8)
 
     def step_fn(params, frames_u8, state):
@@ -133,6 +134,7 @@ def measure_streaming_latency(model: GDKVM, params, *,
     lats_ms = np.asarray(lats) * 1e3
     return {
         "chunk": chunk,
+        "batch": batch,
         "image_size": image_size,
         "calls": timed,
         "latency_ms_p50": float(np.percentile(lats_ms, 50)),

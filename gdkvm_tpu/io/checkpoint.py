@@ -47,10 +47,14 @@ class CheckpointManager:
         except (KeyError, ValueError) as exc:
             raise ValueError(
                 f"checkpoint at {self._dir} step {step} does not match the "
-                f"model config (param tree mismatch). A common cause: the "
-                f"run predates a model-config default change (e.g. "
-                f"model.enc_stem); pass the original value explicitly "
-                f"(e.g. model.enc_stem=conv). Original error: {exc}"
+                f"restore template (state tree mismatch). Common causes: "
+                f"(a) the run predates a model-config default change (e.g. "
+                f"model.enc_stem) — pass the original value explicitly "
+                f"(e.g. model.enc_stem=conv); (b) train.ema_decay differs "
+                f"from the training run — the EMA shadow is part of the "
+                f"checkpoint tree, so scoring/resume must use the same "
+                f"train.ema_decay (0 ↔ >0 changes the tree). "
+                f"Original error: {exc}"
             ) from exc
 
     def close(self) -> None:

@@ -62,12 +62,18 @@ def normalize_frames(frames_u8: jax.Array) -> jax.Array:
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
-    warmup = max(min(t.warmup_iterations, t.num_iterations // 2), 1)
+    # Schedule counts run in APPLIED optimizer updates: under gradient
+    # accumulation optax.MultiSteps advances the inner step only once per
+    # k micro-steps, so warmup/decay horizons are scaled by accum_steps —
+    # otherwise a 3000-micro-step run would end ~1/k into the cosine.
+    k = max(t.accum_steps, 1)
+    total_updates = max(t.num_iterations // k, 1)
+    warmup = max(min(t.warmup_iterations // k, total_updates // 2), 1)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=t.learning_rate,
         warmup_steps=warmup,
         # optax requires decay_steps > warmup_steps (total, not post-warmup).
-        decay_steps=max(t.num_iterations, warmup + 1),
+        decay_steps=max(total_updates, warmup + 1),
         end_value=t.learning_rate * 0.05)
     tx = optax.chain(
         optax.clip_by_global_norm(t.grad_clip),
@@ -105,9 +111,15 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if from_cache:
             from gdkvm_tpu.data import device_cache as dc
+            # data.seed participates (static fold): seed sweeps must vary
+            # the batch stream on the cached path exactly as they do on
+            # the host batch_iterator path.
             data_rng, prompt_rng = jax.random.split(
-                jax.random.fold_in(jax.random.fold_in(state.rng, 17),
-                                   state.step))
+                jax.random.fold_in(
+                    jax.random.fold_in(
+                        jax.random.fold_in(state.rng, 17),
+                        cfg.data.seed),
+                    state.step))
             if isinstance(batch, dc.VideoDeviceCache):
                 batch = dc.sample_video_batch(
                     batch, data_rng, t.batch_size, cfg.data.clip_len,
@@ -151,7 +163,16 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
         ema = state.ema_params
         if ema is not None:
             d = jnp.float32(t.ema_decay)
-            ema = jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e),
+            if t.accum_steps > 1:
+                # Only average on APPLIED updates: MultiSteps withholds
+                # params for k-1 micro-steps, and decaying toward an
+                # unchanged params would shrink the effective averaging
+                # horizon by k.  mini_step wraps to 0 when it applies.
+                applied = (opt_state.mini_step == 0).astype(jnp.float32)
+                step_d = 1.0 - applied * (1.0 - d)
+            else:
+                step_d = d
+            ema = jax.tree.map(lambda e, p: e + (1.0 - step_d) * (p - e),
                                ema, params)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, rng=state.rng,
@@ -225,10 +246,14 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     if cache_mode != "off":
         # One bulk upload; batches are sampled+augmented inside the step.
         if cache_mode == "video":
-            cache = dc.build_video_cache(dataset, cfg.data.clip_len,
-                                         replicated(mesh))
+            cache = dc.build_video_cache(
+                dataset, cfg.data.clip_len, replicated(mesh),
+                max_bytes=cfg.data.device_cache_max_mb * 2**20)
+            if cache is None:         # true padded size over budget
+                cache_mode = "off"
         else:
             cache = dc.build_device_cache(dataset, replicated(mesh))
+    if cache_mode != "off":
         train_step = jax.jit(
             make_train_step(model, tx, cfg, from_cache=True, mesh=mesh),
             donate_argnums=0)

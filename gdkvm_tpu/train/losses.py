@@ -34,43 +34,10 @@ def _onehot_cm(labels: jax.Array, k: int, dtype) -> jax.Array:
     return (labels[:, :, None].astype(jnp.int32) == classes).astype(dtype)
 
 
-def softmax_ce(logits: jax.Array, labels: jax.Array,
-               valid: jax.Array) -> jax.Array:
-    """Per-pixel CE averaged over valid frames.
-
-    logits: (B,T,H,W,K) fp32. labels: (B,T,H,W) int. valid: (B,T).
-    """
-    lg = _class_major(logits)
-    logp = jax.nn.log_softmax(lg, axis=2)
-    onehot = _onehot_cm(labels, lg.shape[2], logp.dtype)
-    ll = jnp.sum(logp * onehot, axis=2)               # (B,T,H,W)
-    per_frame = -jnp.mean(ll, axis=(2, 3))            # (B,T)
-    denom = jnp.maximum(jnp.sum(valid), 1.0)
-    return jnp.sum(per_frame * valid) / denom
-
-
-def soft_dice(logits: jax.Array, labels: jax.Array, valid: jax.Array,
-              eps: float = 1.0) -> jax.Array:
-    """1 − mean soft Dice over foreground classes, valid frames only."""
-    lg = _class_major(logits)
-    k = lg.shape[2]
-    probs = jax.nn.softmax(lg, axis=2)
-    onehot = _onehot_cm(labels, k, probs.dtype)
-    # Per frame per class over pixels.
-    inter = jnp.sum(probs * onehot, axis=(3, 4))       # (B,T,K)
-    psum = jnp.sum(probs, axis=(3, 4))
-    lsum = jnp.sum(onehot, axis=(3, 4))
-    dice = (2 * inter + eps) / (psum + lsum + eps)     # (B,T,K)
-    fg = dice[..., 1:].mean(axis=-1)                   # (B,T) foreground mean
-    denom = jnp.maximum(jnp.sum(valid), 1.0)
-    return 1.0 - jnp.sum(fg * valid) / denom
-
-
-def segmentation_loss(logits: jax.Array, labels: jax.Array,
-                      valid: jax.Array, ce_weight: float = 1.0,
-                      dice_weight: float = 1.0
-                      ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """CE + soft Dice, sharing one transpose/softmax between the terms."""
+def _ce_dice_terms(logits: jax.Array, labels: jax.Array, valid: jax.Array,
+                   eps: float) -> Tuple[jax.Array, jax.Array]:
+    """Shared class-major CE + soft-Dice computation (one transpose, one
+    log_softmax feeding both terms)."""
     lg = _class_major(logits)
     k = lg.shape[2]
     logp = jax.nn.log_softmax(lg, axis=2)
@@ -85,9 +52,32 @@ def segmentation_loss(logits: jax.Array, labels: jax.Array,
     inter = jnp.sum(probs * onehot, axis=(3, 4))       # (B,T,K)
     psum = jnp.sum(probs, axis=(3, 4))
     lsum = jnp.sum(onehot, axis=(3, 4))
-    dice = (2 * inter + 1.0) / (psum + lsum + 1.0)
-    fg = dice[..., 1:].mean(axis=-1)
+    dice = (2 * inter + eps) / (psum + lsum + eps)     # (B,T,K)
+    fg = dice[..., 1:].mean(axis=-1)                   # (B,T) foreground mean
     dl = 1.0 - jnp.sum(fg * valid) / denom
+    return ce, dl
 
+
+def softmax_ce(logits: jax.Array, labels: jax.Array,
+               valid: jax.Array) -> jax.Array:
+    """Per-pixel CE averaged over valid frames.
+
+    logits: (B,T,H,W,K) fp32. labels: (B,T,H,W) int. valid: (B,T).
+    """
+    return _ce_dice_terms(logits, labels, valid, eps=1.0)[0]
+
+
+def soft_dice(logits: jax.Array, labels: jax.Array, valid: jax.Array,
+              eps: float = 1.0) -> jax.Array:
+    """1 − mean soft Dice over foreground classes, valid frames only."""
+    return _ce_dice_terms(logits, labels, valid, eps=eps)[1]
+
+
+def segmentation_loss(logits: jax.Array, labels: jax.Array,
+                      valid: jax.Array, ce_weight: float = 1.0,
+                      dice_weight: float = 1.0
+                      ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """CE + soft Dice, sharing one transpose/softmax between the terms."""
+    ce, dl = _ce_dice_terms(logits, labels, valid, eps=1.0)
     loss = ce_weight * ce + dice_weight * dl
     return loss, {"loss": loss, "ce": ce, "dice_loss": dl}

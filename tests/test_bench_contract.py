@@ -36,7 +36,7 @@ def test_latency_bench_mode():
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = main(["bench", "--mode", "latency", "--chunk", "2",
-                   "--image-size", "32",
+                   "--batch", "3", "--image-size", "32",
                    "model.enc_channels=[8,16,24,32]",
                    "model.enc_blocks=[1,1,1,1]", "model.num_heads=2",
                    "model.head_dim_k=16", "model.head_dim_v=16",
@@ -44,6 +44,6 @@ def test_latency_bench_mode():
                    "model.compute_dtype=float32"])
     assert rc == 0
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert out["chunk"] == 2 and out["calls"] > 0
+    assert out["chunk"] == 2 and out["batch"] == 3 and out["calls"] > 0
     assert 0 < out["latency_ms_p50"] <= out["latency_ms_p99"]
     assert out["latency_ms_per_frame_p50"] <= out["latency_ms_p50"]

@@ -206,3 +206,16 @@ def test_video_cache_train_smoke(tmp_path):
     rows = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
     losses = [r["loss"] for r in rows if "loss" in r]
     assert losses[-1] < losses[0], losses
+
+
+def test_video_cache_max_bytes_fallback(tmp_path):
+    """True padded size over budget → build returns None (host fallback)
+    instead of uploading an over-limit cache."""
+    import warnings
+    cfg, ds = _echonet(tmp_path)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cache = dc.build_video_cache(ds, clip_len=4, max_bytes=1024)
+    assert cache is None
+    assert any("falling back" in str(x.message) for x in w)
+    assert dc.build_video_cache(ds, clip_len=4, max_bytes=1 << 30) is not None

@@ -71,3 +71,27 @@ def test_infer_cli_model_and_artifact(tmp_path):
     assert rc == 0
     masks_b = np.load(os.path.join(out_b, "masks.npz"))["masks"]
     np.testing.assert_array_equal(masks_a, masks_b)
+
+
+def test_infer_artifact_uses_exported_image_size(tmp_path):
+    """--artifact decodes at the artifact's exported size, not the
+    config's (the exported program has a fixed input signature)."""
+    from gdkvm_tpu.cli import main
+
+    path = _avi(tmp_path, frames=5, size=48)
+    small = ["model.enc_channels=[8,16,24,32]", "model.enc_blocks=[1,1,1,1]",
+             "model.num_heads=2", "model.head_dim_k=16",
+             "model.head_dim_v=16", "model.kpff_channels=[24,16,8]",
+             "model.compute_dtype=float32",
+             "runtime.run_dir=" + str(tmp_path / "none")]
+    art = str(tmp_path / "art48")
+    rc = main(["export", "--out", art, "--chunk", "4", "--image-size", "48"]
+              + small)
+    assert rc == 0
+    out = str(tmp_path / "out48")
+    # Config says image_size 32; the artifact was exported at 48 and wins.
+    rc = main(["infer", "--input", path, "--out", out, "--artifact", art,
+               "data.image_size=32"] + small)
+    assert rc == 0
+    masks = np.load(os.path.join(out, "masks.npz"))["masks"]
+    assert masks.shape == (5, 48, 48)

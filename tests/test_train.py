@@ -181,9 +181,14 @@ def test_ema_tracking_and_eval_params():
 def test_gradient_accumulation_effective_batch():
     """accum_steps=2: params frozen on the first micro-step, and the
     post-accumulation update equals a single step on the averaged batch."""
+    # warmup chosen so both paths see identical LRs at applied update
+    # counts 0 (LR=0) and 1 (=peak, end of a 1-update warmup): the
+    # schedule is horizon-scaled by accum_steps (applied-update counts),
+    # so warmup_iterations=2 here ≡ warmup_iterations=1 in the reference.
     cfg_a = smoke_cfg(**{"train.accum_steps": 2, "train.prompt_prob": 0.0,
                          "data.image_size": 32, "data.clip_len": 2,
-                         "train.grad_clip": 1e9})
+                         "train.grad_clip": 1e9,
+                         "train.warmup_iterations": 2})
     model = GDKVM(cfg=cfg_a.model)
     tx_a = make_optimizer(cfg_a)
     state_a = create_train_state(cfg_a, model, tx_a, jax.random.PRNGKey(0))
@@ -215,7 +220,8 @@ def test_gradient_accumulation_effective_batch():
     # prompt_prob=0 keeps the step deterministic and batch-independent.
     cfg_b = smoke_cfg(**{"train.prompt_prob": 0.0,
                          "data.image_size": 32, "data.clip_len": 2,
-                         "train.grad_clip": 1e9})
+                         "train.grad_clip": 1e9,
+                         "train.warmup_iterations": 1})
     tx_b = make_optimizer(cfg_b)
     state_b = create_train_state(cfg_b, model, tx_b, jax.random.PRNGKey(0))
     bb = Batch(frames=jnp.concatenate([b0.frames, b1.frames]),
@@ -228,3 +234,52 @@ def test_gradient_accumulation_effective_batch():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4,
                                                          atol=5e-6),
                  p_end, p_ref)
+
+
+def test_ema_withheld_during_accumulation():
+    """With accum_steps=k the EMA shadow only moves on applied updates —
+    otherwise the averaging horizon silently shrinks by k."""
+    cfg = smoke_cfg(**{"train.accum_steps": 2, "train.ema_decay": 0.9,
+                       "train.prompt_prob": 0.0, "data.image_size": 32,
+                       "data.clip_len": 2, "train.warmup_iterations": 2})
+    model = GDKVM(cfg=cfg.model)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+    ds = make_dataset(cfg.data, "train", cfg.model.num_classes)
+    f, m, v = ds[0]
+    batch = Batch(frames=jnp.asarray(f)[None], masks=jnp.asarray(m)[None],
+                  valid=jnp.asarray(v)[None])
+    step = jax.jit(make_train_step(model, tx, cfg))
+    e0 = jax.device_get(state.ema_params)
+    s, _ = step(state, batch)           # micro-step 1: withheld
+    e1 = jax.device_get(s.ema_params)
+    jax.tree.map(np.testing.assert_array_equal, e0, e1)
+    # Run 3 more micro-steps (2 applied updates total; the 2nd moves
+    # params since LR reaches peak) — the shadow must have moved.
+    for _ in range(3):
+        s, _ = step(s, batch)
+    e2 = jax.device_get(s.ema_params)
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), e0, e2)))
+    assert moved > 0.0
+
+
+def test_lr_schedule_scales_with_accumulation():
+    """The cosine horizon counts APPLIED updates: accum_steps=k over
+    num_iterations micro-steps must finish the schedule, not stop at 1/k."""
+    import optax
+    cfg1 = smoke_cfg(num_iterations=100)
+    cfgk = smoke_cfg(num_iterations=100, **{"train.accum_steps": 4})
+    # Reconstruct the schedules the optimizers embed.
+    def sched(cfg):
+        t = cfg.train
+        k = max(t.accum_steps, 1)
+        total = max(t.num_iterations // k, 1)
+        warmup = max(min(t.warmup_iterations // k, total // 2), 1)
+        return optax.warmup_cosine_decay_schedule(
+            0.0, t.learning_rate, warmup, max(total, warmup + 1),
+            t.learning_rate * 0.05)
+    end1 = float(sched(cfg1)(100))
+    endk = float(sched(cfgk)(25))       # 100 micro-steps = 25 applied
+    assert abs(end1 - cfg1.train.learning_rate * 0.05) < 1e-9
+    assert abs(endk - cfgk.train.learning_rate * 0.05) < 1e-9
