@@ -43,7 +43,7 @@ def cmd_eval(argv) -> int:
     from gdkvm_tpu.io.checkpoint import CheckpointManager
     from gdkvm_tpu.models.gdkvm import GDKVM, init_params
     from gdkvm_tpu.parallel import make_mesh
-    from gdkvm_tpu.train.loop import create_train_state, make_optimizer
+    from gdkvm_tpu.train.loop import abstract_train_state, make_optimizer
     import os
 
     flags, overrides = _split_args(argv)
@@ -56,12 +56,13 @@ def cmd_eval(argv) -> int:
 
     mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
     model = GDKVM(cfg=cfg.model)
-    state = create_train_state(cfg, model, make_optimizer(cfg),
+    # Abstract (shape-only) restore template: no device init, no fetch.
+    tpl = abstract_train_state(cfg, model, make_optimizer(cfg),
                                jax.random.PRNGKey(0))
     ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
                                                "checkpoints")
     ckpt = CheckpointManager(ckpt_dir)
-    state = ckpt.restore(jax.device_get(state))
+    state = ckpt.restore(tpl)
     from gdkvm_tpu.train.loop import eval_params
     params = jax.device_put(eval_params(state, cfg))  # pin host tree once
     metrics = evaluate(cfg, model, params, mesh, step=int(state.step))
@@ -135,7 +136,7 @@ def cmd_stream_eval(argv) -> int:
     from gdkvm_tpu.eval.streaming import stream_evaluate
     from gdkvm_tpu.io.checkpoint import CheckpointManager
     from gdkvm_tpu.models.gdkvm import GDKVM, init_params
-    from gdkvm_tpu.train.loop import create_train_state, make_optimizer
+    from gdkvm_tpu.train.loop import abstract_train_state, make_optimizer
 
     flags, overrides = _split_args(argv)
     p = argparse.ArgumentParser(prog="gdkvm stream-eval")
@@ -158,9 +159,9 @@ def cmd_stream_eval(argv) -> int:
     ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
                                                "checkpoints")
     if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-        state = create_train_state(cfg, model, make_optimizer(cfg),
+        tpl = abstract_train_state(cfg, model, make_optimizer(cfg),
                                    jax.random.PRNGKey(0))
-        state = CheckpointManager(ckpt_dir).restore(jax.device_get(state))
+        state = CheckpointManager(ckpt_dir).restore(tpl)
         from gdkvm_tpu.train.loop import eval_params
         # Restored trees are host numpy: pin to device once, or every
         # dispatch re-transfers the whole param tree.
@@ -258,17 +259,16 @@ def cmd_infer(argv) -> int:
     else:
         from gdkvm_tpu.io.checkpoint import CheckpointManager
         from gdkvm_tpu.models.gdkvm import GDKVM, init_params
-        from gdkvm_tpu.train.loop import create_train_state, eval_params, \
-            make_optimizer
+        from gdkvm_tpu.train.loop import abstract_train_state, \
+            eval_params, make_optimizer
         frames = load_frames(args.input, cfg.data.image_size)
         model = GDKVM(cfg=cfg.model)
         ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
                                                    "checkpoints")
         if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-            state = create_train_state(cfg, model, make_optimizer(cfg),
+            tpl = abstract_train_state(cfg, model, make_optimizer(cfg),
                                        jax.random.PRNGKey(0))
-            state = CheckpointManager(ckpt_dir).restore(
-                jax.device_get(state))
+            state = CheckpointManager(ckpt_dir).restore(tpl)
             params = jax.device_put(eval_params(state, cfg))
         else:
             params = init_params(model, jax.random.PRNGKey(0),
@@ -289,7 +289,7 @@ def cmd_export(argv) -> int:
     from gdkvm_tpu.io.checkpoint import CheckpointManager
     from gdkvm_tpu.io.export import save_artifact
     from gdkvm_tpu.models.gdkvm import GDKVM, init_params
-    from gdkvm_tpu.train.loop import create_train_state, eval_params, \
+    from gdkvm_tpu.train.loop import abstract_train_state, eval_params, \
         make_optimizer
 
     flags, overrides = _split_args(argv)
@@ -312,9 +312,9 @@ def cmd_export(argv) -> int:
     ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
                                                "checkpoints")
     if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-        state = create_train_state(cfg, model, make_optimizer(cfg),
+        tpl = abstract_train_state(cfg, model, make_optimizer(cfg),
                                    jax.random.PRNGKey(0))
-        state = CheckpointManager(ckpt_dir).restore(jax.device_get(state))
+        state = CheckpointManager(ckpt_dir).restore(tpl)
         params = eval_params(state, cfg)
     else:
         params = init_params(model, jax.random.PRNGKey(0),

@@ -182,6 +182,17 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
     return step_fn
 
 
+def abstract_train_state(cfg: Config, model: GDKVM,
+                         tx: optax.GradientTransformation,
+                         rng: jax.Array) -> TrainState:
+    """Shape/dtype-only TrainState (jax.eval_shape) — the checkpoint
+    restore template.  Never materializes params or touches the device:
+    CLI tools that only restore were paying a full device init plus a
+    whole-state device→host fetch for a template they threw away (on the
+    tunneled dev setup that fetch can stall for minutes)."""
+    return jax.eval_shape(lambda: create_train_state(cfg, model, tx, rng))
+
+
 def create_train_state(cfg: Config, model: GDKVM,
                        tx: optax.GradientTransformation,
                        rng: jax.Array) -> TrainState:
