@@ -156,13 +156,26 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
                 flips = (brng.random(len(idxs)) < 0.5).astype(np.uint8) \
                     if augment else None
                 frames, masks, valid = dataset.gather(idxs, flips)
-                if augment and occlude_prob > 0:
-                    # flip/gamma already handled by the native gather;
-                    # occlusion applies on top.
+                if augment:
+                    # The native gather handles flips (GIL-free memcpy
+                    # path); gain/gamma applies here as a per-clip
+                    # 256-entry uint8 LUT — one vectorized np.take pass,
+                    # no per-pixel pow (the host has 1 CPU).
                     for j in range(frames.shape[0]):
-                        frames[j] = _occlude(
-                            np.random.default_rng((seed, epoch, bi, j)),
-                            frames[j], occlude_prob)
+                        crng = np.random.default_rng(
+                            (seed, epoch, bi, j, 1))
+                        if crng.random() < 0.5:
+                            gain = crng.uniform(0.8, 1.25)
+                            gamma = crng.uniform(0.8, 1.25)
+                            lut = (np.clip(
+                                gain * (np.arange(256) / 255.0) ** gamma,
+                                0, 1) * 255).astype(np.uint8)
+                            frames[j] = lut[frames[j]]
+                    if occlude_prob > 0:
+                        for j in range(frames.shape[0]):
+                            frames[j] = _occlude(
+                                np.random.default_rng((seed, epoch, bi, j)),
+                                frames[j], occlude_prob)
                 yield Batch(frames=frames, masks=masks, valid=valid)
                 continue
             items = list(pool.map(load, [

@@ -92,3 +92,45 @@ def test_pipeline_integration(pck_file):
     b = next(it)
     assert b.frames.shape == (2, 4, 32, 32, 1)
     assert b.masks.shape == (2, 4, 32, 32)
+
+
+def test_packed_iterator_applies_photometric_aug(tmp_path):
+    """The packed fast path must apply gain/gamma (it silently skipped it
+    before): with augment=True some clips differ photometrically from the
+    plain gather while masks stay flip-or-identity."""
+    import numpy as np
+    from gdkvm_tpu.data.packed import PackedDataset, write_pck
+    from gdkvm_tpu.data.pipeline import batch_iterator, make_dataset
+    from gdkvm_tpu.data.synthetic import SyntheticDataset
+
+    src = SyntheticDataset(num_clips=8, clip_len=2, image_size=24,
+                           num_classes=2, seed=0)
+    path = str(tmp_path / "t.pck")
+    write_pck(path, src)
+    ds = PackedDataset(path, num_workers=1)
+
+    it_plain = batch_iterator(ds, 8, shuffle=False, augment=False,
+                              seed=3, num_workers=1)
+    it_aug = batch_iterator(ds, 8, shuffle=False, augment=True,
+                            seed=3, num_workers=1)
+    plain = next(it_plain)
+    aug = next(it_aug)
+    photo_changed = 0
+    for j in range(8):
+        m = np.asarray(aug.masks[j])
+        base = np.asarray(plain.masks[j])
+        flipped = bool((m == base[:, :, ::-1]).all() and not
+                       (m == base).all())
+        f_base = np.asarray(plain.frames[j])
+        f_base = f_base[:, :, ::-1] if flipped else f_base
+        f_aug = np.asarray(aug.frames[j])
+        if not (f_aug == f_base).all():
+            # Photometric LUT: value-dependent only — equal input pixels
+            # must map to equal outputs.
+            lut_ok = True
+            for v in np.unique(f_base):
+                outs = np.unique(f_aug[f_base == v])
+                lut_ok &= outs.size == 1
+            assert lut_ok, f"clip {j}: not a per-value LUT transform"
+            photo_changed += 1
+    assert photo_changed > 0, "gamma/gain augmentation never applied"
