@@ -34,8 +34,6 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from gdkvm_tpu.config.schema import ModelConfig
-
 _BLOB = "model.shlo"
 _META = "meta.json"
 

@@ -14,13 +14,11 @@ reprod/index.astro:246-252) come straight from the config tree.
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from gdkvm_tpu.config.schema import Config, save_config
