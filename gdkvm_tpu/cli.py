@@ -152,6 +152,10 @@ def cmd_stream_eval(argv) -> int:
     p.add_argument("--streams", type=int, default=None,
                    help="videos in flight as one batched recurrence "
                         "(serving mode; default eval_stage.streams)")
+    p.add_argument("--consistency", action="store_true",
+                   help="also report temporal prediction stability "
+                        "(fg IoU between consecutive frames, flicker "
+                        "rate; single-stream mode only)")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -174,7 +178,8 @@ def cmd_stream_eval(argv) -> int:
                           reset_state=args.reset_state,
                           occlude=args.occlude,
                           streams=args.streams if args.streams is not None
-                          else cfg.eval_stage.streams)
+                          else cfg.eval_stage.streams,
+                          consistency=args.consistency)
     print(json.dumps(out))
     return 0
 

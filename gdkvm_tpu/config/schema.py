@@ -109,6 +109,9 @@ class EvalStageConfig:
     stream_chunk: int = 16             # frames per device call in streaming
     streams: int = 1                   # videos in flight (serving mode)
     use_ema: bool = True               # score EMA weights when available
+    # Opt-in extra metrics (host-side, eval-only): 95th-pct Hausdorff
+    # boundary distance (the standard CAMUS metric alongside Dice).
+    hd95: bool = False
 
 
 @dataclass

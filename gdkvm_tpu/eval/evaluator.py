@@ -39,6 +39,8 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
     bs = max(cfg.eval_stage.batch_size, data_par)
     bs = (bs // data_par) * data_par
 
+    hd_on = cfg.eval_stage.hd95
+
     @jax.jit
     def fwd_part(params, frames_u8, masks, valid):
         """Forward + Dice partial sums + mid-frame preds in ONE jit: eager
@@ -47,15 +49,17 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
         frames = frames_u8.astype(jnp.float32) / 255.0
         logits, _ = model.apply(params, frames)
         part = M.dice_accumulate(logits, masks.astype(jnp.int32), valid, k)
+        lg = jnp.transpose(logits, (0, 1, 4, 2, 3))   # class-major argmax
+        pred_all = jnp.argmax(lg, axis=2).astype(jnp.uint8)
         t_mid = logits.shape[1] // 2
-        pred_mid = jnp.argmax(logits[:, t_mid], axis=-1).astype(jnp.uint8)
-        return part, pred_mid
+        return part, pred_all[:, t_mid], (pred_all if hd_on else 0)
 
     it = batch_iterator(dataset, bs, shuffle=False, augment=False,
                         drop_last=False, loop=False,
                         num_workers=cfg.data.num_workers)
     parts = []
     vis_jobs = []          # (frames_dev, masks_dev, preds_dev) to dump
+    hd_jobs = []           # (pred_all_dev, masks_host, valid_host)
     vis_budget = cfg.eval_stage.num_vis
     vis_dir = os.path.join(cfg.runtime.run_dir, "vis")
     with mesh:
@@ -63,11 +67,13 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
         for batch in it:
             if batch.frames.shape[0] % data_par:
                 continue  # ragged tail smaller than the mesh; skip
-            part, pred_mid = fwd_part(params, batch.frames, batch.masks,
-                                      batch.valid)
+            part, pred_mid, pred_all = fwd_part(
+                params, batch.frames, batch.masks, batch.valid)
             parts.append(part)          # async — fetched once at the end
             if len(vis_jobs) * bs < vis_budget:
                 vis_jobs.append((batch.frames, batch.masks, pred_mid))
+            if hd_on:
+                hd_jobs.append((pred_all, batch.masks, batch.valid))
     if not parts:
         return {}
     parts = jax.device_get(parts)
@@ -87,4 +93,34 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
             vis_saved += 1
         if vis_saved >= vis_budget:
             break
-    return M.dice_finalize(acc)
+    out = M.dice_finalize(acc)
+
+    if hd_on and hd_jobs:
+        # Host-side HD95 over all valid frames (val splits are small; the
+        # uint8 preds fetch is a few MB at eval cadence).
+        per_class: Dict[str, list] = {}
+        n_inf = 0
+        n_frames = 0
+        for pred_d, masks_d, valid_d in hd_jobs:
+            pred_h, masks_h, valid_h = map(np.asarray, jax.device_get(
+                (pred_d, masks_d, valid_d)))
+            b, t = valid_h.shape
+            for i in range(b):
+                for tt in range(t):
+                    if valid_h[i, tt] <= 0:
+                        continue
+                    n_frames += 1
+                    d = M.hd95(pred_h[i, tt],
+                               masks_h[i, tt].astype(np.int64), k)
+                    for key, val in d.items():
+                        if np.isinf(val):
+                            n_inf += 1
+                        else:
+                            per_class.setdefault(key, []).append(val)
+        for key, vals in per_class.items():
+            out[key] = float(np.mean(vals))
+        if per_class:
+            out["hd95_fg_mean"] = float(np.mean(
+                [np.mean(v) for v in per_class.values()]))
+        out["hd95_miss_frac"] = float(n_inf / max(n_frames, 1))
+    return out

@@ -52,3 +52,71 @@ def dice_finalize(acc: Dict[str, jax.Array], eps: float = 1e-7
     out["dice_fg_mean"] = float(jnp.mean(fg)) if fg.size else float("nan")
     out["frames"] = float(acc["frames"])
     return out
+
+
+def hd95(pred: "np.ndarray", label: "np.ndarray",
+         num_classes: int, spacing: float = 1.0) -> Dict[str, float]:
+    """95th-percentile symmetric Hausdorff distance per foreground class.
+
+    The standard CAMUS boundary metric alongside Dice (reported by the
+    segmentation literature the reference compares against).  Host-side
+    numpy/scipy on hard masks — eval-time only, never in the jitted path.
+
+    pred, label: (H, W) integer class maps (single frame).  Returns
+    {"hd95_class{k}": distance} for foreground classes; classes absent
+    from BOTH maps are skipped, absent from one map give inf.
+    """
+    import numpy as np
+    from scipy.ndimage import binary_erosion, distance_transform_edt
+
+    out: Dict[str, float] = {}
+    for k in range(1, num_classes):
+        p = pred == k
+        l = label == k
+        if not p.any() and not l.any():
+            continue
+        if not p.any() or not l.any():
+            out[f"hd95_class{k}"] = float("inf")
+            continue
+        pb = p & ~binary_erosion(p)            # boundaries
+        lb = l & ~binary_erosion(l)
+        dist_to_l = distance_transform_edt(~lb)
+        dist_to_p = distance_transform_edt(~pb)
+        d_pl = dist_to_l[pb]
+        d_lp = dist_to_p[lb]
+        both = np.concatenate([d_pl, d_lp])
+        out[f"hd95_class{k}"] = float(np.percentile(both, 95) * spacing)
+    return out
+
+
+def temporal_consistency(masks: "np.ndarray",
+                         num_classes: int) -> Dict[str, float]:
+    """Frame-to-frame prediction stability of a predicted mask sequence.
+
+    The reference claims robustness to "cycle consistency" / flicker
+    (reference: README.md:16-22 challenge list); this quantifies it: mean
+    foreground IoU between consecutive frames' predictions, and the
+    flicker rate (fraction of pixels changing class per frame pair).
+    Cardiac motion bounds the true change, so higher IoU / lower flicker
+    at equal Dice indicates the memory is stabilizing predictions rather
+    than re-segmenting each frame independently.
+
+    masks: (T, H, W) integer class maps.  Returns
+    {"temporal_fg_iou": ..., "flicker_rate": ...} (nan when T < 2).
+    """
+    import numpy as np
+
+    t = masks.shape[0]
+    if t < 2:
+        return {"temporal_fg_iou": float("nan"),
+                "flicker_rate": float("nan")}
+    a = masks[:-1]
+    b = masks[1:]
+    fg_a = a > 0
+    fg_b = b > 0
+    inter = (fg_a & fg_b & (a == b)).sum(axis=(1, 2)).astype(np.float64)
+    union = (fg_a | fg_b).sum(axis=(1, 2)).astype(np.float64)
+    iou = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    flicker = (a != b).mean(axis=(1, 2))
+    return {"temporal_fg_iou": float(iou.mean()),
+            "flicker_rate": float(flicker.mean())}

@@ -171,7 +171,8 @@ def stream_evaluate(cfg, model: GDKVM, params,
                     num_videos: int = 8, video_len: int = 128,
                     reset_state: bool = False,
                     occlude: bool = False,
-                    streams: int = 1):
+                    streams: int = 1,
+                    consistency: bool = False):
     """Full-sequence streaming eval: per-video chunked recurrence, Dice on
     valid frames, end-to-end frames/sec (BASELINE configs[1]/[3]).
 
@@ -233,6 +234,10 @@ def stream_evaluate(cfg, model: GDKVM, params,
         videos = occluded
 
     if streams > 1:
+        if consistency:
+            import warnings
+            warnings.warn("--consistency is computed in single-stream "
+                          "mode only; ignoring it for streams > 1")
         return _stream_evaluate_ms(model, params, videos, k, chunk,
                                    streams, reset_state)
 
@@ -254,6 +259,7 @@ def stream_evaluate(cfg, model: GDKVM, params,
         v_pad[: valid.shape[0]] = valid
         state = None
         parts = []
+        mask_chunks = []
         for i, c in enumerate(chunks):
             masks, state = step(params, c, state)
             if reset_state:
@@ -261,18 +267,23 @@ def stream_evaluate(cfg, model: GDKVM, params,
             parts.append(dice_part(
                 masks, gt_chunks[i],
                 v_pad[i * chunk:(i + 1) * chunk]))   # 64 B — jit-arg OK
-        return parts
+            if consistency:
+                mask_chunks.append(masks)   # fetched post-loop, stays async
+        return parts, mask_chunks
 
     # Warm the jit cache (compile excluded from throughput, like bench.py).
     if videos:
-        jax.device_get(run_video(*videos[0]))
+        jax.device_get(run_video(*videos[0])[0])
 
     acc = None
     frames_done = 0
     parts = []
+    per_video_masks = []
     t0 = _time.perf_counter()
     for vid, gt, valid in videos:
-        parts.extend(run_video(vid, gt, valid))
+        p, mc = run_video(vid, gt, valid)
+        parts.extend(p)
+        per_video_masks.append((mc, vid.shape[0]))
         frames_done += vid.shape[0]
     # device_get forces real execution (block_until_ready can return at
     # dispatch-ack on remote platforms — see eval/throughput.py).
@@ -283,6 +294,23 @@ def stream_evaluate(cfg, model: GDKVM, params,
     out = M.dice_finalize(acc) if acc else {}
     out["stream_frames_per_sec"] = frames_done / max(elapsed, 1e-9)
     out["videos"] = float(len(videos))
+    if consistency:
+        # Temporal stability of the predictions (reference's
+        # cycle-consistency robustness claim — eval/metrics.py); fetched
+        # after timing so the throughput number stays transfer-free.
+        cons = []
+        for mask_chunks, n_frames in per_video_masks:
+            if not mask_chunks:
+                continue
+            seq = np.concatenate(
+                [np.asarray(m) for m in jax.device_get(mask_chunks)]
+            )[:n_frames]
+            cons.append(M.temporal_consistency(seq, k))
+        if cons:
+            out["temporal_fg_iou"] = float(
+                np.mean([c["temporal_fg_iou"] for c in cons]))
+            out["flicker_rate"] = float(
+                np.mean([c["flicker_rate"] for c in cons]))
     return out
 
 

@@ -101,3 +101,67 @@ def test_long_sequence_streaming_stable(tiny_model):
     assert np.isfinite(mem).all()
     assert np.abs(mem).max() < 1e3, "state magnitude must stay bounded"
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hd95_metric_math():
+    from gdkvm_tpu.eval import metrics as M
+    a = np.zeros((32, 32), np.int64)
+    a[8:16, 8:16] = 1
+    b = np.zeros((32, 32), np.int64)
+    b[8:16, 10:18] = 1
+    d = M.hd95(a, b, 2)
+    assert abs(d["hd95_class1"] - 2.0) < 1e-6      # 2-px shift → HD95 = 2
+    assert M.hd95(a, a, 2)["hd95_class1"] == 0.0
+    missing = M.hd95(a, np.zeros_like(a), 2)
+    assert np.isinf(missing["hd95_class1"])
+    assert M.hd95(np.zeros_like(a), np.zeros_like(a), 2) == {}
+
+
+def test_temporal_consistency_metric_math():
+    from gdkvm_tpu.eval import metrics as M
+    a = np.zeros((16, 16), np.int64)
+    a[4:8, 4:8] = 1
+    seq_stable = np.stack([a, a, a])
+    c = M.temporal_consistency(seq_stable, 2)
+    assert c["temporal_fg_iou"] == 1.0 and c["flicker_rate"] == 0.0
+    b = np.roll(a, 2, axis=1)
+    c2 = M.temporal_consistency(np.stack([a, b]), 2)
+    assert 0.0 < c2["temporal_fg_iou"] < 1.0
+    assert c2["flicker_rate"] > 0.0
+    assert np.isnan(M.temporal_consistency(a[None], 2)["temporal_fg_iou"])
+
+
+def _cfg_with(**kv):
+    from gdkvm_tpu.config.schema import apply_overrides
+    cfg = load_config("configs/smoke_synthetic.yaml")
+    apply_overrides(cfg, [f"{k}={v}" for k, v in kv.items()])
+    return cfg
+
+
+def test_evaluate_with_hd95(tmp_path):
+    """eval_stage.hd95 adds boundary-distance keys to the eval output."""
+    from gdkvm_tpu.eval.evaluator import evaluate
+    from gdkvm_tpu.parallel import make_mesh
+    cfg = _cfg_with(**{"runtime.run_dir": str(tmp_path / "run"),
+                       "eval_stage.hd95": True})
+    model = GDKVM(cfg=cfg.model)
+    params = init_params(model, jax.random.PRNGKey(0), cfg.data.image_size)
+    mesh = make_mesh(1, 1)
+    out = evaluate(cfg, model, params, mesh, step=1)
+    assert "dice_fg_mean" in out
+    assert "hd95_miss_frac" in out
+    has_hd = any(k.startswith("hd95_class") for k in out)
+    assert has_hd or out["hd95_miss_frac"] == 1.0
+
+
+def test_stream_evaluate_consistency(tmp_path):
+    """--consistency reports temporal stability keys."""
+    from gdkvm_tpu.eval.streaming import stream_evaluate
+    cfg = _cfg_with(**{"runtime.run_dir": str(tmp_path / "run"),
+                       "data.image_size": 32})
+    model = GDKVM(cfg=cfg.model)
+    params = init_params(model, jax.random.PRNGKey(0), 32)
+    out = stream_evaluate(cfg, model, params, num_videos=2, video_len=8,
+                          consistency=True)
+    assert 0.0 <= out["flicker_rate"] <= 1.0
+    assert 0.0 <= out["temporal_fg_iou"] <= 1.0
