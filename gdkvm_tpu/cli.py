@@ -229,6 +229,67 @@ def cmd_pack(argv) -> int:
     return 0
 
 
+def cmd_sweep(argv) -> int:
+    """Hydra-multirun equivalent: run the cartesian product of swept
+    overrides sequentially, one run dir per combination, and summarize.
+
+    Swept values use hydra's multirun syntax — a comma list in the
+    override value: ``gdkvm sweep --config c.yaml learning_rate=1e-4,3e-4
+    batch_size=4,8`` runs 4 trainings under <run_dir>/sweep/<combo>/ and
+    prints a ranked summary (by eval/dice_fg_mean, then loss).
+    """
+    import itertools
+    import os
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.train.loop import train
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm sweep")
+    p.add_argument("--config", default=None)
+    p.add_argument("--metric", default="eval/dice_fg_mean",
+                   help="ranking metric from the final metrics "
+                        "(higher better unless it contains 'loss')")
+    args = p.parse_args(flags)
+
+    fixed, swept = [], []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        if "," in val:
+            swept.append((key, val.split(",")))
+        else:
+            fixed.append(ov)
+    if not swept:
+        print("error: no swept overrides (use key=v1,v2,...)",
+              file=sys.stderr)
+        return 2
+
+    base_cfg = load_config(args.config, fixed)
+    base_dir = os.path.join(base_cfg.runtime.run_dir, "sweep")
+    results = []
+    combos = list(itertools.product(*(vals for _, vals in swept)))
+    for combo in combos:
+        combo_ovs = [f"{key}={val}"
+                     for (key, _), val in zip(swept, combo)]
+        tag = "_".join(v.replace("/", "-") for v in combo)
+        run_dir = os.path.join(base_dir, tag)
+        cfg = load_config(args.config,
+                          fixed + combo_ovs + [f"runtime.run_dir={run_dir}"])
+        metrics = train(cfg)
+        row = {"overrides": combo_ovs, "run_dir": run_dir, **{
+            k: v for k, v in metrics.items()
+            if isinstance(v, (int, float))}}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    m = args.metric
+    lower_better = "loss" in m
+    scored = [r for r in results if m in r]
+    scored.sort(key=lambda r: r[m], reverse=not lower_better)
+    print(json.dumps({"sweep_best": scored[0] if scored else None,
+                      "metric": m, "runs": len(results)}))
+    return 0
+
+
 def cmd_infer(argv) -> int:
     """Run a trained model (or exported artifact) on a cine file: AVI/MP4,
     raw CAMUS .mhd, or a directory of PNG frames → masks.npz + overlays."""
@@ -399,6 +460,7 @@ _COMMANDS = {
     "export": cmd_export,
     "serve-check": cmd_serve_check,
     "infer": cmd_infer,
+    "sweep": cmd_sweep,
 }
 
 
