@@ -95,3 +95,15 @@ def test_infer_artifact_uses_exported_image_size(tmp_path):
     assert rc == 0
     masks = np.load(os.path.join(out, "masks.npz"))["masks"]
     assert masks.shape == (5, 48, 48)
+
+
+def test_load_frames_mhd(tmp_path):
+    """Raw CAMUS MetaImage input path for gdkvm infer."""
+    import numpy as np
+    from gdkvm_tpu.data.camus_raw import write_mhd
+    vol = (np.random.default_rng(0).integers(0, 255, (5, 40, 40))
+           .astype(np.uint8))
+    path = str(tmp_path / "seq.mhd")
+    write_mhd(path, vol)
+    frames = load_frames(path, 32)
+    assert frames.shape == (5, 32, 32, 1) and frames.dtype == np.uint8
