@@ -229,6 +229,54 @@ def cmd_pack(argv) -> int:
     return 0
 
 
+def cmd_info(argv) -> int:
+    """Environment/config diagnostics: platform, devices, versions, and
+    the fully-resolved config for a given YAML + overrides."""
+    import importlib
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm info")
+    p.add_argument("--config", default=None)
+    p.add_argument("--probe", action="store_true",
+                   help="also run a tiny device round trip (latency ms)")
+    args = p.parse_args(flags)
+
+    import gdkvm_tpu
+    out = {"gdkvm_tpu": gdkvm_tpu.__version__}
+    for mod in ("jax", "flax", "optax", "numpy"):
+        try:
+            out[mod] = importlib.import_module(mod).__version__
+        except Exception:
+            out[mod] = None
+    import jax
+    try:
+        devs = jax.devices()
+        out["platform"] = devs[0].platform
+        out["devices"] = [str(d) for d in devs]
+    except Exception as exc:                     # backend init failure
+        out["platform"] = f"error: {exc}"
+        out["devices"] = []
+    out["jit_cache_dir"] = jax.config.jax_compilation_cache_dir
+    from gdkvm_tpu.data.packed import _load_native
+    out["pck_native_loader"] = _load_native() is not None
+    if args.probe and out["devices"]:
+        import time
+        import jax.numpy as jnp
+        x = jax.device_put(jnp.arange(8, dtype=jnp.float32))
+        x.block_until_ready()
+        t0 = time.perf_counter()
+        jax.device_get(x)
+        out["device_roundtrip_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 2)
+    if args.config or overrides:
+        from gdkvm_tpu.config.schema import load_config, save_config
+        import dataclasses
+        cfg = load_config(args.config, overrides)
+        out["config"] = dataclasses.asdict(cfg)
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_sweep(argv) -> int:
     """Hydra-multirun equivalent: run the cartesian product of swept
     overrides sequentially, one run dir per combination, and summarize.
@@ -461,6 +509,7 @@ _COMMANDS = {
     "serve-check": cmd_serve_check,
     "infer": cmd_infer,
     "sweep": cmd_sweep,
+    "info": cmd_info,
 }
 
 

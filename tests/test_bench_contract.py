@@ -47,3 +47,15 @@ def test_latency_bench_mode():
     assert out["chunk"] == 2 and out["batch"] == 3 and out["calls"] > 0
     assert 0 < out["latency_ms_p50"] <= out["latency_ms_p99"]
     assert out["latency_ms_per_frame_p50"] <= out["latency_ms_p50"]
+
+
+def test_info_command():
+    import json, io, contextlib
+    from gdkvm_tpu.cli import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["info", "--config", "configs/smoke_synthetic.yaml"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["platform"] == "cpu" and out["jax"]
+    assert out["config"]["model"]["gdr_impl"] == "chunked"
