@@ -269,7 +269,7 @@ def cmd_info(argv) -> int:
         out["device_roundtrip_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 2)
     if args.config or overrides:
-        from gdkvm_tpu.config.schema import load_config, save_config
+        from gdkvm_tpu.config.schema import load_config
         import dataclasses
         cfg = load_config(args.config, overrides)
         out["config"] = dataclasses.asdict(cfg)
@@ -285,6 +285,11 @@ def cmd_sweep(argv) -> int:
     override value: ``gdkvm sweep --config c.yaml learning_rate=1e-4,3e-4
     batch_size=4,8`` runs 4 trainings under <run_dir>/sweep/<combo>/ and
     prints a ranked summary (by eval/dice_fg_mean, then loss).
+
+    Bracketed values are NEVER swept: pass tuple-typed config fields as
+    ``model.enc_channels=[16,32,48,64]`` to pin them while sweeping other
+    keys.  A combo that raises is recorded with an ``error`` field and the
+    sweep continues (multirun semantics).
     """
     import itertools
     import os
@@ -302,7 +307,7 @@ def cmd_sweep(argv) -> int:
     fixed, swept = [], []
     for ov in overrides:
         key, _, val = ov.partition("=")
-        if "," in val:
+        if "," in val and not val.startswith("["):
             swept.append((key, val.split(",")))
         else:
             fixed.append(ov)
@@ -315,23 +320,36 @@ def cmd_sweep(argv) -> int:
     base_dir = os.path.join(base_cfg.runtime.run_dir, "sweep")
     results = []
     combos = list(itertools.product(*(vals for _, vals in swept)))
-    for combo in combos:
+    for ci, combo in enumerate(combos):
         combo_ovs = [f"{key}={val}"
                      for (key, _), val in zip(swept, combo)]
-        tag = "_".join(v.replace("/", "-") for v in combo)
+        # Index prefix guarantees unique run dirs even when joined values
+        # collide; key names keep the tag readable.
+        tag = f"{ci:02d}_" + "_".join(
+            f"{key.rsplit('.', 1)[-1]}-{v.replace('/', '-')}"
+            for (key, _), v in zip(swept, combo))
         run_dir = os.path.join(base_dir, tag)
         cfg = load_config(args.config,
                           fixed + combo_ovs + [f"runtime.run_dir={run_dir}"])
-        metrics = train(cfg)
+        try:
+            metrics = train(cfg)
+        except Exception as exc:     # a diverged combo must not kill the grid
+            row = {"overrides": combo_ovs, "run_dir": run_dir,
+                   "error": f"{type(exc).__name__}: {exc}"}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+            continue
         row = {"overrides": combo_ovs, "run_dir": run_dir, **{
             k: v for k, v in metrics.items()
             if isinstance(v, (int, float))}}
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    import math
     m = args.metric
     lower_better = "loss" in m
-    scored = [r for r in results if m in r]
+    scored = [r for r in results
+              if m in r and not math.isnan(r[m])]
     scored.sort(key=lambda r: r[m], reverse=not lower_better)
     print(json.dumps({"sweep_best": scored[0] if scored else None,
                       "metric": m, "runs": len(results)}))

@@ -100,7 +100,7 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
         # uint8 preds fetch is a few MB at eval cadence).
         per_class: Dict[str, list] = {}
         n_inf = 0
-        n_frames = 0
+        n_pairs = 0          # (frame, class) pairs where the class exists
         for pred_d, masks_d, valid_d in hd_jobs:
             pred_h, masks_h, valid_h = map(np.asarray, jax.device_get(
                 (pred_d, masks_d, valid_d)))
@@ -109,10 +109,10 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
                 for tt in range(t):
                     if valid_h[i, tt] <= 0:
                         continue
-                    n_frames += 1
                     d = M.hd95(pred_h[i, tt],
                                masks_h[i, tt].astype(np.int64), k)
                     for key, val in d.items():
+                        n_pairs += 1
                         if np.isinf(val):
                             n_inf += 1
                         else:
@@ -122,5 +122,7 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
         if per_class:
             out["hd95_fg_mean"] = float(np.mean(
                 [np.mean(v) for v in per_class.values()]))
-        out["hd95_miss_frac"] = float(n_inf / max(n_frames, 1))
+        # Fraction of evaluated (frame, class) pairs where one side was
+        # empty (HD undefined) — a true fraction for any class count.
+        out["hd95_miss_frac"] = float(n_inf / max(n_pairs, 1))
     return out

@@ -89,8 +89,7 @@ def hd95(pred: "np.ndarray", label: "np.ndarray",
     return out
 
 
-def temporal_consistency(masks: "np.ndarray",
-                         num_classes: int) -> Dict[str, float]:
+def temporal_consistency(masks: "np.ndarray") -> Dict[str, float]:
     """Frame-to-frame prediction stability of a predicted mask sequence.
 
     The reference claims robustness to "cycle consistency" / flicker

@@ -305,7 +305,7 @@ def stream_evaluate(cfg, model: GDKVM, params,
             seq = np.concatenate(
                 [np.asarray(m) for m in jax.device_get(mask_chunks)]
             )[:n_frames]
-            cons.append(M.temporal_consistency(seq, k))
+            cons.append(M.temporal_consistency(seq))
         if cons:
             out["temporal_fg_iou"] = float(
                 np.mean([c["temporal_fg_iou"] for c in cons]))

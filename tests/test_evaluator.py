@@ -122,13 +122,13 @@ def test_temporal_consistency_metric_math():
     a = np.zeros((16, 16), np.int64)
     a[4:8, 4:8] = 1
     seq_stable = np.stack([a, a, a])
-    c = M.temporal_consistency(seq_stable, 2)
+    c = M.temporal_consistency(seq_stable)
     assert c["temporal_fg_iou"] == 1.0 and c["flicker_rate"] == 0.0
     b = np.roll(a, 2, axis=1)
-    c2 = M.temporal_consistency(np.stack([a, b]), 2)
+    c2 = M.temporal_consistency(np.stack([a, b]))
     assert 0.0 < c2["temporal_fg_iou"] < 1.0
     assert c2["flicker_rate"] > 0.0
-    assert np.isnan(M.temporal_consistency(a[None], 2)["temporal_fg_iou"])
+    assert np.isnan(M.temporal_consistency(a[None])["temporal_fg_iou"])
 
 
 def _cfg_with(**kv):
