@@ -11,11 +11,37 @@ model section): enc 32/64/96/128, 4 heads × 64×64 GDR state, bf16 compute.
 import json
 import os
 import sys
+import threading
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _arm_watchdog(seconds: float) -> None:
+    """Emit an honest error line and exit if the device path stalls.
+
+    The dev TPU is reached through a tunnel that has been observed to
+    wedge for hours (device round trips hanging indefinitely); without a
+    watchdog a stall produces NO output at all.  A real bench run
+    (compile included) finishes well under this budget."""
+
+    def fire():
+        print(json.dumps({
+            "metric": "echonet_streaming_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: device path stalled >{int(seconds)}s "
+                     f"(TPU tunnel unhealthy; no measurement possible)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _arm_watchdog(float(os.environ.get("GDKVM_BENCH_WATCHDOG_SEC", "1500")))
     import jax
     from gdkvm_tpu.config.schema import ModelConfig
     from gdkvm_tpu.eval.throughput import measure_streaming_fps
