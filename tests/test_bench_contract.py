@@ -59,3 +59,23 @@ def test_info_command():
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["platform"] == "cpu" and out["jax"]
     assert out["config"]["model"]["gdr_impl"] == "chunked"
+
+
+def test_train_bench_mode():
+    """gdkvm bench --mode train: reports step time + train frames/sec."""
+    import json, io, contextlib
+    from gdkvm_tpu.cli import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["bench", "--mode", "train", "--image-size", "32",
+                   "batch_size=1", "data.clip_len=2",
+                   "model.enc_channels=[8,16,24,32]",
+                   "model.enc_blocks=[1,1,1,1]", "model.num_heads=2",
+                   "model.head_dim_k=16", "model.head_dim_v=16",
+                   "model.kpff_channels=[24,16,8]",
+                   "model.compute_dtype=float32"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["steps_per_sec"] > 0
+    assert out["train_frames_per_sec"] == out["steps_per_sec"] * 1 * 2
+    assert out["image_size"] == 32
