@@ -33,7 +33,10 @@ class ModelConfig:
     num_heads: int = 4
     head_dim_k: int = 64
     head_dim_v: int = 64
-    mem_stride: int = 16               # scale at which memory tokens live
+    # Scale at which memory tokens live.  The architecture pins this to
+    # the encoder's deepest stride (16) — validated in GDKVM.setup; the
+    # field exists so saved run configs stay loadable.
+    mem_stride: int = 16
     # KPFF fusion + decoder.
     kpff_channels: Tuple[int, ...] = (96, 64, 48)   # strides 16, 8, 4
     # Mask conditioning is done by writing the prompted frame into the

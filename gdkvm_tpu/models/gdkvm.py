@@ -61,6 +61,11 @@ class GDKVM(nn.Module):
 
     def setup(self):
         c = self.cfg
+        if c.mem_stride != 16:
+            raise ValueError(
+                f"model.mem_stride={c.mem_stride} is not supported: the "
+                f"LKVA memory reads the encoder's deepest scale, which is "
+                f"stride 16 (encoder stages are fixed at strides 4/8/16)")
         dt = _dtype(c.compute_dtype)
         self.encoder = Encoder(channels=tuple(c.enc_channels),
                                blocks=tuple(c.enc_blocks), dtype=dt,

@@ -172,3 +172,38 @@ def test_model_with_pallas_impl_matches_chunked():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(st_pl.mem), np.asarray(st_ch.mem),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_fuzz_shapes(monkeypatch):
+    """Randomized shape sweep: forward + fused backward parity vs the scan
+    reference across odd token counts, head dims, and dtypes."""
+    monkeypatch.setenv("GDKVM_GDR_BWD", "fused")
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        B = int(rng.integers(1, 3))
+        H = int(rng.integers(1, 4))
+        T = int(rng.integers(1, 5))
+        N = int(rng.integers(1, 21))
+        dk = int(rng.choice([8, 16, 24]))
+        dv = int(rng.choice([8, 16, 24]))
+        args = _rand_bh(jax.random.PRNGKey(100 + trial),
+                        B=B, H=H, T=T, N=N, dk=dk, dv=dv)
+        o_ref, s_ref = gdr.gdr_ref_bh(*args)
+        o_pl, s_pl = gdr_pallas.gdr_pallas_bh(*args)
+        np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"fwd trial {trial} "
+                                           f"B{B}H{H}T{T}N{N}k{dk}v{dv}")
+        np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(fn(*a)[0] ** 2) + \
+                jnp.sum(fn(*a)[1] ** 2)
+        g_pl = jax.grad(loss(gdr_pallas.gdr_pallas_bh),
+                        argnums=(0, 3, 5))(*args)
+        g_ref = jax.grad(loss(gdr.gdr_ref_bh), argnums=(0, 3, 5))(*args)
+        for a, b in zip(g_pl, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-4,
+                                       err_msg=f"bwd trial {trial}")
