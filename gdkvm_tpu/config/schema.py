@@ -48,6 +48,12 @@ class ModelConfig:
     # Kernel selection for the GDR scan: "chunked" (pure JAX, differentiable)
     # or "pallas" (TPU kernel, inference hot path).
     gdr_impl: str = "chunked"
+    # Recurrence variant: "gdn" (classic coupled gated delta rule — the
+    # erase and write strengths share one β gate) or "gdn2" (decoupled:
+    # a separate learned erase gate η per token/head, GDN-2 lineage,
+    # arXiv 2605.22791 — the memory can overwrite without erasing and
+    # vice versa).  gdn2 runs through the XLA chunked path.
+    gdr_variant: str = "gdn"
 
 
 @dataclass

@@ -53,69 +53,91 @@ _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def delta_write_ref(s: jax.Array, k: jax.Array, v: jax.Array,
-                    beta: jax.Array) -> jax.Array:
-    """One delta-rule write: ``S ← (I − β k kᵀ) S + β k vᵀ``.
+                    beta: jax.Array,
+                    eta: jax.Array | None = None) -> jax.Array:
+    """One delta-rule write: ``S ← (I − η k kᵀ) S + β k vᵀ``.
+
+    η is the ERASE strength and β the WRITE strength.  The classic gated
+    delta rule couples them (η = β, the default); the decoupled "GDN-2"
+    variant (lineage: Gated DeltaNet-2, arXiv 2605.22791 — erase/write
+    decoupling in linear attention, re-derived here) learns them
+    separately so the memory can overwrite without erasing or erase
+    without writing.
 
     Args:
-      s: (d_k, d_v) state.  k: (d_k,).  v: (d_v,).  beta: scalar in (0,1).
+      s: (d_k, d_v) state.  k: (d_k,).  v: (d_v,).  beta, eta: scalars in
+      (0,1); eta=None couples η=β.
     """
     s = s.astype(jnp.float32)
     k = k.astype(jnp.float32)
     v = v.astype(jnp.float32)
     beta = beta.astype(jnp.float32)
-    # (I − β k kᵀ) S + β k vᵀ  ==  S + β k (v − Sᵀk)ᵀ   (rank-1, fused form)
-    return s + beta * jnp.outer(k, v - _mm(s.T, k))
+    eta = beta if eta is None else eta.astype(jnp.float32)
+    # (I − η k kᵀ) S + β k vᵀ  ==  S + k (β v − η Sᵀk)ᵀ  (rank-1, fused)
+    return s + jnp.outer(k, beta * v - eta * _mm(s.T, k))
 
 
 def gdr_frame_ref(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
-                  beta: jax.Array, alpha: jax.Array
+                  beta: jax.Array, alpha: jax.Array,
+                  eta: jax.Array | None = None
                   ) -> Tuple[jax.Array, jax.Array]:
     """One frame of the GDR recurrence, token-level sequential (reference).
 
     Args:
-      s: (d_k, d_v).  q,k: (N, d_k).  v: (N, d_v).  beta: (N,).  alpha: scalar.
+      s: (d_k, d_v).  q,k: (N, d_k).  v: (N, d_v).  beta: (N,).  alpha:
+      scalar.  eta: (N,) erase gates; None couples η=β (classic rule).
     Returns:
       (s_new, o) with o: (N, d_v).
     """
     s = alpha.astype(jnp.float32) * s.astype(jnp.float32)
     o = _mm(q.astype(jnp.float32), s)
+    eta = beta if eta is None else eta
 
     def write(s, tok):
-        k_i, v_i, b_i = tok
-        return delta_write_ref(s, k_i, v_i, b_i), None
+        k_i, v_i, b_i, e_i = tok
+        return delta_write_ref(s, k_i, v_i, b_i, e_i), None
 
-    s, _ = jax.lax.scan(write, s, (k, v, beta))
+    s, _ = jax.lax.scan(write, s, (k, v, beta, eta))
     return s, o
 
 
 def gdr_ref(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
-            alpha: jax.Array, s0: jax.Array
+            alpha: jax.Array, s0: jax.Array,
+            eta: jax.Array | None = None
             ) -> Tuple[jax.Array, jax.Array]:
     """Token-level scan reference for the full sequence. Ground truth.
 
     Shapes: see module docstring.  Returns (o (T,N,d_v) fp32, s_T fp32).
     """
+    eta = beta if eta is None else eta
+
     def frame(s, xs):
-        q_t, k_t, v_t, b_t, a_t = xs
-        s, o_t = gdr_frame_ref(s, q_t, k_t, v_t, b_t, a_t)
+        q_t, k_t, v_t, b_t, a_t, e_t = xs
+        s, o_t = gdr_frame_ref(s, q_t, k_t, v_t, b_t, a_t, e_t)
         return s, o_t
 
     s_t, o = jax.lax.scan(frame, s0.astype(jnp.float32),
-                          (q, k, v, beta, alpha))
+                          (q, k, v, beta, alpha, eta))
     return o, s_t
 
 
-def _wy_transform(k: jax.Array, v: jax.Array, beta: jax.Array
+def _wy_transform(k: jax.Array, v: jax.Array, beta: jax.Array,
+                  eta: jax.Array | None = None
                   ) -> Tuple[jax.Array, jax.Array]:
     """Chunk WY form: U, W such that applying N delta-rule writes equals
     ``S ← S + Kᵀ (U − W S)``.
 
-    Derivation (verified against gdr_ref in tests/test_gdr.py): with
-    ``A = strict_tril(diag(β) K Kᵀ)`` and ``T = (I + A)^{-1}`` (unit lower
-    triangular), set ``U = T diag(β) V`` and ``W = T diag(β) K``.
+    Derivation (verified against gdr_ref in tests/test_gdr.py): per token
+    the update row is ``r_i = β_i v_i − η_i S_{i-1}ᵀ k_i`` and
+    ``S_N = S_0 + Kᵀ R``; expanding the recurrence gives
+    ``(I + A) R = diag(β) V − diag(η) K S_0`` with
+    ``A = strict_tril(diag(η) K Kᵀ)``, so with ``T = (I + A)^{-1}``:
+    ``U = T diag(β) V`` and ``W = T diag(η) K``.  η = β (default)
+    recovers the classic coupled gated delta rule; separate η is the
+    decoupled erase/write variant (arXiv 2605.22791 lineage).
 
     Args:
-      k: (N, d_k).  v: (N, d_v).  beta: (N,).
+      k: (N, d_k).  v: (N, d_v).  beta, eta: (N,).
     Returns:
       U: (N, d_v), W: (N, d_k)  (both fp32).
     """
@@ -123,10 +145,11 @@ def _wy_transform(k: jax.Array, v: jax.Array, beta: jax.Array
     k = k.astype(jnp.float32)
     v = v.astype(jnp.float32)
     beta = beta.astype(jnp.float32)
+    eta = beta if eta is None else eta.astype(jnp.float32)
 
-    kb = k * beta[:, None]                       # diag(β) K
-    a = jnp.tril(_mm(kb, k.T), k=-1)                 # strict lower
-    rhs = jnp.concatenate([v * beta[:, None], kb], axis=1)
+    ke = k * eta[:, None]                        # diag(η) K
+    a = jnp.tril(_mm(ke, k.T), k=-1)                 # strict lower
+    rhs = jnp.concatenate([v * beta[:, None], ke], axis=1)
     uw = _solve_unit_lower(a, rhs)
     return uw[:, : v.shape[1]], uw[:, v.shape[1]:]
 
@@ -177,7 +200,8 @@ def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
 
 
 def gdr_frame_chunked(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
-                      beta: jax.Array, alpha: jax.Array
+                      beta: jax.Array, alpha: jax.Array,
+                      eta: jax.Array | None = None
                       ) -> Tuple[jax.Array, jax.Array]:
     """One frame via the chunk closed form (matmuls only).
 
@@ -187,26 +211,29 @@ def gdr_frame_chunked(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
     q = q.astype(jnp.float32)
     k32 = k.astype(jnp.float32)
     o = _mm(q, s)
-    u, w = _wy_transform(k, v, beta)
+    u, w = _wy_transform(k, v, beta, eta)
     s = s + _mm(k32.T, u - _mm(w, s))
     return s, o
 
 
 def gdr_chunked(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
-                alpha: jax.Array, s0: jax.Array
+                alpha: jax.Array, s0: jax.Array,
+                eta: jax.Array | None = None
                 ) -> Tuple[jax.Array, jax.Array]:
     """Chunkwise-parallel GDR over a sequence: scan over frames, closed form
     within each frame.  Differentiable; the training path.
 
     Shapes: see module docstring.  Returns (o (T,N,d_v) fp32, s_T fp32).
     """
+    eta = beta if eta is None else eta
+
     def frame(s, xs):
-        q_t, k_t, v_t, b_t, a_t = xs
-        s, o_t = gdr_frame_chunked(s, q_t, k_t, v_t, b_t, a_t)
+        q_t, k_t, v_t, b_t, a_t, e_t = xs
+        s, o_t = gdr_frame_chunked(s, q_t, k_t, v_t, b_t, a_t, e_t)
         return s, o_t
 
     s_t, o = jax.lax.scan(frame, s0.astype(jnp.float32),
-                          (q, k, v, beta, alpha))
+                          (q, k, v, beta, alpha, eta))
     return o, s_t
 
 
@@ -243,6 +270,21 @@ def _bh_wrap(fn):
 
 gdr_ref_bh = _bh_wrap(gdr_ref)
 gdr_chunked_bh = _bh_wrap(gdr_chunked)
+
+
+def _bh_wrap_ew(fn):
+    """7-arg (…, eta) variant of _bh_wrap for the decoupled erase gate."""
+    head = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    batch = jax.vmap(head, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    @functools.wraps(fn)
+    def wrapped(q, k, v, beta, alpha, s0, eta):
+        return batch(q, k, v, beta, alpha, s0, eta)
+    return wrapped
+
+
+# Decoupled erase/write (GDN-2 lineage): eta (B,H,T,N) as an explicit arg.
+gdr_ref_ew_bh = _bh_wrap_ew(gdr_ref)
+gdr_chunked_ew_bh = _bh_wrap_ew(gdr_chunked)
 
 # (B,H,·) wrapper for write-only prompt updates.
 gdr_write_chunk_bh = jax.vmap(jax.vmap(gdr_write_chunk))

@@ -74,7 +74,8 @@ class GDKVM(nn.Module):
                                head_dim_k=c.head_dim_k,
                                head_dim_v=c.head_dim_v,
                                out_channels=c.enc_channels[-1],
-                               dtype=dt, gdr_impl=c.gdr_impl)
+                               dtype=dt, gdr_impl=c.gdr_impl,
+                               gdr_variant=getattr(c, "gdr_variant", "gdn"))
         self.decoder = Decoder(channels=tuple(c.kpff_channels),
                                num_classes=c.num_classes, dtype=dt)
 

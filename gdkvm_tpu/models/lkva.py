@@ -32,6 +32,11 @@ import jax.numpy as jnp
 from gdkvm_tpu.core import gdr
 
 
+def gdr_pallas_mod():
+    from gdkvm_tpu.ops import gdr_pallas
+    return gdr_pallas
+
+
 def _l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
@@ -44,6 +49,7 @@ class LKVAMemory(nn.Module):
     out_channels: int = 128
     dtype: jnp.dtype = jnp.bfloat16
     gdr_impl: str = "chunked"          # chunked | ref | pallas
+    gdr_variant: str = "gdn"           # gdn (η=β) | gdn2 (separate erase)
 
     def setup(self):
         h, dk, dv = self.num_heads, self.head_dim_k, self.head_dim_v
@@ -55,6 +61,15 @@ class LKVAMemory(nn.Module):
         self.beta_proj = nn.Dense(
             h, dtype=self.dtype,
             bias_init=nn.initializers.constant(-1.0))
+        if self.gdr_variant == "gdn2":
+            # Decoupled erase gate η (GDN-2 lineage): initialized to match
+            # β's bias so training starts at the coupled rule's behavior.
+            self.eta_proj = nn.Dense(
+                h, dtype=self.dtype,
+                bias_init=nn.initializers.constant(-1.0))
+        elif self.gdr_variant != "gdn":
+            raise ValueError(f"gdr_variant must be gdn|gdn2, "
+                             f"got {self.gdr_variant!r}")
         # α from pooled frame context; bias toward "remember" at init.
         self.alpha_proj = nn.Dense(
             h, dtype=self.dtype,
@@ -137,6 +152,8 @@ class LKVAMemory(nn.Module):
         v = self.v_proj(x_tok)
         v = v.reshape(b, t, n, h, dv).astype(jnp.float32)
         beta = nn.sigmoid(self.beta_proj(x_tok).astype(jnp.float32))
+        eta = nn.sigmoid(self.eta_proj(x_tok).astype(jnp.float32)) \
+            if self.gdr_variant == "gdn2" else None
 
         # α: per frame per head from mean-pooled frame features.
         pooled = jnp.mean(x_tok.astype(jnp.float32), axis=2)   # (B,T,C)
@@ -150,11 +167,21 @@ class LKVAMemory(nn.Module):
         bh = beta.transpose(0, 3, 1, 2)
         ah = alpha.transpose(0, 2, 1)
 
-        if self.gdr_impl == "ref":
+        if eta is not None:
+            eh = eta.transpose(0, 3, 1, 2)
+            if self.gdr_impl == "ref":
+                o, new_state = gdr.gdr_ref_ew_bh(qh, kh, vh, bh, ah,
+                                                 state, eh)
+            else:
+                # gdn2 runs through the XLA chunked path (the Pallas
+                # kernel implements the coupled rule only).
+                o, new_state = gdr.gdr_chunked_ew_bh(qh, kh, vh, bh, ah,
+                                                     state, eh)
+        elif self.gdr_impl == "ref":
             o, new_state = gdr.gdr_ref_bh(qh, kh, vh, bh, ah, state)
         elif self.gdr_impl == "pallas":
-            from gdkvm_tpu.ops import gdr_pallas
-            o, new_state = gdr_pallas.gdr_pallas_bh(qh, kh, vh, bh, ah, state)
+            o, new_state = gdr_pallas_mod().gdr_pallas_bh(
+                qh, kh, vh, bh, ah, state)
         else:
             o, new_state = gdr.gdr_chunked_bh(qh, kh, vh, bh, ah, state)
 
