@@ -172,9 +172,10 @@ class LKVAMemory(nn.Module):
             if self.gdr_impl == "ref":
                 o, new_state = gdr.gdr_ref_ew_bh(qh, kh, vh, bh, ah,
                                                  state, eh)
+            elif self.gdr_impl == "pallas":
+                o, new_state = gdr_pallas_mod().gdr_pallas_ew_bh(
+                    qh, kh, vh, bh, ah, state, eh)
             else:
-                # gdn2 runs through the XLA chunked path (the Pallas
-                # kernel implements the coupled rule only).
                 o, new_state = gdr.gdr_chunked_ew_bh(qh, kh, vh, bh, ah,
                                                      state, eh)
         elif self.gdr_impl == "ref":

@@ -161,20 +161,27 @@ def _solve_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
 
 
 def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
-                beta2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                beta2: jax.Array, eta2: jax.Array
+                ) -> Tuple[jax.Array, jax.Array]:
     """One frame's read+write on VALUES (not refs): shared by the forward
     kernel and the backward kernel's recompute.
 
+    Decoupled gates (GDN-2 lineage, core/gdr.py derivation): β is the
+    WRITE strength, η the ERASE strength; η ≡ β recovers the classic
+    coupled rule (the public coupled API passes beta for both, and AD
+    sums the two cotangents).
+
     Args (all fp32): s_dec (H,dk,dv) decayed state S̃; q,k (H,N,dk);
-    v (H,N,dv); beta2 (H,N,1).  Returns (s_new (H,dk,dv), o (H,N,dv)).
+    v (H,N,dv); beta2, eta2 (H,N,1).  Returns (s_new (H,dk,dv),
+    o (H,N,dv)).
     """
     # LKVA read against the decayed pre-write state.
     o = _bdot(q, s_dec)
 
-    # WY transform per head: A = strict_tril(diag(β) K Kᵀ).
-    kb = k * beta2                          # diag(β) K
-    a = _tril_mask(_bdot(kb, k.transpose(0, 2, 1)))
-    rhs = jnp.concatenate([v * beta2, kb], axis=2)       # (H, N, dv+dk)
+    # WY transform per head: A = strict_tril(diag(η) K Kᵀ).
+    ke = k * eta2                           # diag(η) K
+    a = _tril_mask(_bdot(ke, k.transpose(0, 2, 1)))
+    rhs = jnp.concatenate([v * beta2, ke], axis=2)       # (H, N, dv+dk)
     uw = _solve_lower(a, rhs)
     u = uw[:, :, : v.shape[2]]
     w = uw[:, :, v.shape[2]:]
@@ -184,20 +191,22 @@ def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
     return s_new, o
 
 
-def _frame_adjoint(s_dec, q, k, v, beta2, g, do):
-    """Hand-derived adjoint of one frame (see module docstring derivation).
+def _frame_adjoint(s_dec, q, k, v, beta2, eta2, g, do):
+    """Hand-derived adjoint of one frame (see module docstring derivation,
+    generalized to decoupled gates: kb → diag(η)K everywhere the erase
+    factor appears, diag(β) only on the V part of the RHS).
 
     Args (fp32): s_dec (H,dk,dv) decayed state S̃;
-    q,k (H,N,dk); v (H,N,dv); beta2 (H,N,1); g = dS_new (H,dk,dv);
+    q,k (H,N,dk); v (H,N,dv); beta2, eta2 (H,N,1); g = dS_new (H,dk,dv);
     do (H,N,dv).
-    Returns (ds_dec, dq, dk, dv, dbeta2) — dβ summed over the feature dim,
-    shape (H,N,1).
+    Returns (ds_dec, dq, dk, dv, dbeta2, deta2) — gate grads summed over
+    the feature dim, shape (H,N,1).
     """
     dv_dim = v.shape[2]
     # Recompute the WY solve (cheaper than storing it: flash-attn style).
-    kb = k * beta2
-    a = _tril_mask(_bdot(kb, k.transpose(0, 2, 1)))
-    rhs = jnp.concatenate([v * beta2, kb], axis=2)
+    ke = k * eta2
+    a = _tril_mask(_bdot(ke, k.transpose(0, 2, 1)))
+    rhs = jnp.concatenate([v * beta2, ke], axis=2)
     x = _solve_lower(a, rhs)                # [U | W]  (H, N, dv+dk)
     u = x[:, :, :dv_dim]
     w = x[:, :, dv_dim:]
@@ -213,17 +222,17 @@ def _frame_adjoint(s_dec, q, k, v, beta2, g, do):
     da = -_tril_mask(_bdot(y, x.transpose(0, 2, 1)))
     y_v = y[:, :, :dv_dim]
     y_k = y[:, :, dv_dim:]
-    dkb = _bdot(da, k) + y_k
+    dke = _bdot(da, k) + y_k
     dk_out = _bdot(m, g.transpose(0, 2, 1)) \
-        + _bdot(da.transpose(0, 2, 1), kb) + beta2 * dkb
+        + _bdot(da.transpose(0, 2, 1), ke) + eta2 * dke
     dv_out = beta2 * y_v
-    dbeta2 = jnp.sum(y_v * v, axis=2, keepdims=True) \
-        + jnp.sum(dkb * k, axis=2, keepdims=True)
-    return ds_dec, dq, dk_out, dv_out, dbeta2
+    dbeta2 = jnp.sum(y_v * v, axis=2, keepdims=True)
+    deta2 = jnp.sum(dke * k, axis=2, keepdims=True)
+    return ds_dec, dq, dk_out, dv_out, dbeta2, deta2
 
 
 def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
-                s0_ref, *rest):
+                eta_ref, s0_ref, *rest):
     """One (b, t) grid step: advance all H heads' states one frame.
 
     alpha_ref is a scalar-prefetch arg: the full (B, T, H) gate table lives
@@ -254,13 +263,14 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
     k = k_ref[0, 0].astype(_F32)            # (H, N, dk)
     v = v_ref[0, 0].astype(_F32)            # (H, N, dv)
     beta = beta_ref[0, 0].astype(_F32)      # (H, N, 1)
+    eta = eta_ref[0, 0].astype(_F32)        # (H, N, 1)
 
     # Decay each head's state in place (scalar × 2D slice — Mosaic-friendly;
     # a (H,) vector → (H,1,1) broadcast is an unsupported shape cast).
     for i in range(h):
         s_scr[i] = alpha_ref[b, t, i].astype(_F32) * s_scr[i]
 
-    s_new, o = _frame_math(s_scr[:], q, k, v, beta)
+    s_new, o = _frame_math(s_scr[:], q, k, v, beta, eta)
     o_ref[0, 0] = o.astype(o_ref.dtype)
     s_scr[:] = s_new
 
@@ -269,10 +279,10 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
         sT_ref[0] = s_new.astype(sT_ref.dtype)
 
 
-def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, states_ref,
-                    do_ref, dsT_ref,
-                    dq_ref, dk_ref, dv_ref, dbeta_ref, dalpha_ref, ds0_ref,
-                    ds_scr, sdec_scr):
+def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
+                    states_ref, do_ref, dsT_ref,
+                    dq_ref, dk_ref, dv_ref, dbeta_ref, deta_ref,
+                    dalpha_ref, ds0_ref, ds_scr, sdec_scr):
     """One reversed (b, i) grid step of the fused backward: frame t = T-1-i.
 
     Re-derives the frame from its checkpoint S_{t-1} and applies the
@@ -299,15 +309,17 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, states_ref,
     k = k_ref[0, 0].astype(_F32)
     v = v_ref[0, 0].astype(_F32)
     beta = beta_ref[0, 0].astype(_F32)
+    eta = eta_ref[0, 0].astype(_F32)
 
     do = do_ref[0, 0].astype(_F32)
-    ds_dec, dq, dk, dv, dbeta = _frame_adjoint(
-        sdec_scr[:], q, k, v, beta, ds_scr[:], do)
+    ds_dec, dq, dk, dv, dbeta, deta = _frame_adjoint(
+        sdec_scr[:], q, k, v, beta, eta, ds_scr[:], do)
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
     dbeta_ref[0, 0] = dbeta.astype(dbeta_ref.dtype)
+    deta_ref[0, 0] = deta.astype(deta_ref.dtype)
 
     # dα per head as a lane-broadcast (1,128) row (no scalar outputs in
     # Mosaic); the wrapper reads lane 0.
@@ -326,8 +338,8 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, states_ref,
 
 
 def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
-                     beta: jax.Array, alpha: jax.Array, s0: jax.Array,
-                     interpret: bool, save_states: bool):
+                     beta: jax.Array, eta: jax.Array, alpha: jax.Array,
+                     s0: jax.Array, interpret: bool, save_states: bool):
     """Flat (B, T, H, N, d) invocation.  N must be pre-padded (β=0 on pads).
 
     All H heads advance together per grid step (head-batched matmuls), so
@@ -336,6 +348,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
     b, t, h, n, dk = q.shape
     dv = v.shape[-1]
     beta2 = beta[..., None]                 # (B,T,H,N,1)
+    eta2 = eta[..., None]
 
     out_shape = [
         jax.ShapeDtypeStruct((b, t, h, n, dv), _F32),
@@ -357,6 +370,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, 1, h, n, dk), lambda g, i, *_: (g, i, 0, 0, 0)),
             pl.BlockSpec((1, 1, h, n, dv), lambda g, i, *_: (g, i, 0, 0, 0)),
             pl.BlockSpec((1, 1, h, n, 1), lambda g, i, *_: (g, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, h, n, 1), lambda g, i, *_: (g, i, 0, 0, 0)),
             pl.BlockSpec((1, h, dk, dv), lambda g, i, *_: (g, 0, 0, 0)),
         ],
         out_specs=tuple(out_specs),
@@ -373,19 +387,21 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
             bytes_accessed=b * h * t * n * (2 * dk + 2 * dv) * 4,
             transcendentals=0,
         ),
-    )(alpha, q, k, v, beta2, s0)
+    )(alpha, q, k, v, beta2, eta2, s0)
 
 
-def _gdr_pallas_bwd_flat(q, k, v, beta, alpha, states, do, dsT,
+def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
                          interpret: bool):
     """Flat reversed-scan backward.  Shapes as the forward flat call, plus
     states (B,T,H,dk,dv) fp32 checkpoints, do (B,T,H,N,dv), dsT (B,H,dk,dv).
 
-    Returns (dq, dk, dv, dbeta2, dalpha128 (B,T,H,128), ds0) — all fp32.
+    Returns (dq, dk, dv, dbeta2, deta2, dalpha128 (B,T,H,128), ds0) —
+    all fp32.
     """
     b, t, h, n, dk = q.shape
     dv = v.shape[-1]
     beta2 = beta[..., None]
+    eta2 = eta[..., None]
     n_t = t
 
     rev5 = lambda g, i, *_: (g, n_t - 1 - i, 0, 0, 0)
@@ -397,6 +413,7 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, alpha, states, do, dsT,
         jax.ShapeDtypeStruct((b, t, h, n, dk), _F32),   # dk
         jax.ShapeDtypeStruct((b, t, h, n, dv), _F32),   # dv
         jax.ShapeDtypeStruct((b, t, h, n, 1), _F32),    # dbeta
+        jax.ShapeDtypeStruct((b, t, h, n, 1), _F32),    # deta
         jax.ShapeDtypeStruct((b, t, h, 128), _F32),     # dalpha (lane bcast)
         jax.ShapeDtypeStruct((b, h, dk, dv), _F32),     # ds0
     )
@@ -408,6 +425,7 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, alpha, states, do, dsT,
             pl.BlockSpec((1, 1, h, n, dk), rev5),       # k
             pl.BlockSpec((1, 1, h, n, dv), rev5),       # v
             pl.BlockSpec((1, 1, h, n, 1), rev5),        # beta
+            pl.BlockSpec((1, 1, h, n, 1), rev5),        # eta
             pl.BlockSpec((1, 1, h, dk, dv), rev5),      # states S_{t-1}
             pl.BlockSpec((1, 1, h, n, dv), rev5),       # do
             pl.BlockSpec((1, h, dk, dv), fix4),         # dsT
@@ -416,6 +434,7 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, alpha, states, do, dsT,
             pl.BlockSpec((1, 1, h, n, dk), rev5),
             pl.BlockSpec((1, 1, h, n, dk), rev5),
             pl.BlockSpec((1, 1, h, n, dv), rev5),
+            pl.BlockSpec((1, 1, h, n, 1), rev5),
             pl.BlockSpec((1, 1, h, n, 1), rev5),
             pl.BlockSpec((1, 1, h, 128), rev4),
             pl.BlockSpec((1, h, dk, dv), fix4),
@@ -436,7 +455,7 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, alpha, states, do, dsT,
             * 4,
             transcendentals=0,
         ),
-    )(alpha, q, k, v, beta2, states, do, dsT)
+    )(alpha, q, k, v, beta2, eta2, states, do, dsT)
 
 
 def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
@@ -447,8 +466,10 @@ def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
-def _flat_inputs(q, k, v, beta, alpha):
-    """(B,H,T,N,d) → padded (B,T,H,N,d) kernel layout + (B,T,H) alpha."""
+def _flat_inputs(q, k, v, beta, eta, alpha):
+    """(B,H,T,N,d) → padded (B,T,H,N,d) kernel layout + (B,T,H) alpha.
+
+    Token pads carry β=η=0 — exact no-op writes."""
     n = q.shape[-2]
     n_pad = max(_round_up(n, 16), 16)
     tr = lambda x: jnp.swapaxes(x, 1, 2)
@@ -456,8 +477,9 @@ def _flat_inputs(q, k, v, beta, alpha):
     kf = tr(_pad_tokens(k, n_pad))
     vf = tr(_pad_tokens(v, n_pad))
     bf = tr(_pad_tokens(beta[..., None], n_pad)[..., 0])
+    ef = tr(_pad_tokens(eta[..., None], n_pad)[..., 0])
     af = jnp.transpose(alpha, (0, 2, 1)).astype(_F32)   # (B,T,H)
-    return qf, kf, vf, bf, af
+    return qf, kf, vf, bf, ef, af
 
 
 def _interpret() -> bool:
@@ -465,36 +487,45 @@ def _interpret() -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def gdr_pallas_bh(q, k, v, beta, alpha, s0):
-    """GDR scan via the Pallas TPU kernel.
+def gdr_pallas_ew_bh(q, k, v, beta, alpha, s0, eta):
+    """Decoupled erase/write GDR scan via the Pallas TPU kernel.
 
-    Shapes as gdr_chunked_bh: q,k (B,H,T,N,dk); v (B,H,T,N,dv);
-    beta (B,H,T,N); alpha (B,H,T); s0 (B,H,dk,dv).
+    Shapes as gdr_chunked_ew_bh: q,k (B,H,T,N,dk); v (B,H,T,N,dv);
+    beta, eta (B,H,T,N); alpha (B,H,T); s0 (B,H,dk,dv).
     Returns (o (B,H,T,N,dv) fp32, s_T (B,H,dk,dv) fp32).
     """
-    o, s_t, _ = _gdr_pallas_fwd_impl(q, k, v, beta, alpha, s0,
+    o, s_t, _ = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
                                      save_states=False)
     return o, s_t
 
 
-def _gdr_pallas_fwd_impl(q, k, v, beta, alpha, s0, save_states: bool):
+def gdr_pallas_bh(q, k, v, beta, alpha, s0):
+    """Classic coupled GDR scan (η = β) via the Pallas TPU kernel.
+
+    beta feeds both gate slots of the decoupled kernel; under AD the two
+    cotangents sum automatically, reproducing the coupled rule's dβ.
+    """
+    return gdr_pallas_ew_bh(q, k, v, beta, alpha, s0, beta)
+
+
+def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool):
     n = q.shape[-2]
-    qf, kf, vf, bf, af = _flat_inputs(q, k, v, beta, alpha)
-    outs = _gdr_pallas_flat(qf, kf, vf, bf, af, s0, _interpret(),
+    qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
+    outs = _gdr_pallas_flat(qf, kf, vf, bf, ef, af, s0, _interpret(),
                             save_states)
     o, s_t = outs[0], outs[1]
     o = jnp.swapaxes(o, 1, 2)[:, :, :, :n, :]           # (B,H,T,N,dv)
     return o, s_t, (outs[2] if save_states else None)
 
 
-def _fwd(q, k, v, beta, alpha, s0):
+def _fwd(q, k, v, beta, alpha, s0, eta):
     if _bwd_mode() == "recompute":
-        o, s_t, _ = _gdr_pallas_fwd_impl(q, k, v, beta, alpha, s0,
+        o, s_t, _ = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
                                          save_states=False)
-        return (o, s_t), (q, k, v, beta, alpha, s0, None)
-    o, s_t, states = _gdr_pallas_fwd_impl(q, k, v, beta, alpha, s0,
+        return (o, s_t), (q, k, v, beta, alpha, s0, eta, None)
+    o, s_t, states = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
                                           save_states=True)
-    return (o, s_t), (q, k, v, beta, alpha, s0, states)
+    return (o, s_t), (q, k, v, beta, alpha, s0, eta, states)
 
 
 def _bwd_mode() -> str:
@@ -504,28 +535,31 @@ def _bwd_mode() -> str:
 
 
 def _bwd(residuals, cotangents):
-    q, k, v, beta, alpha, s0, states = residuals
+    q, k, v, beta, alpha, s0, eta, states = residuals
     if states is None:
         # Backward through the mathematically-identical pure-JAX chunked
         # form (XLA-compiled; recompute-in-backward, kernel forward-only).
-        _, vjp = jax.vjp(gdr_core.gdr_chunked_bh, q, k, v, beta, alpha, s0)
+        _, vjp = jax.vjp(gdr_core.gdr_chunked_ew_bh,
+                         q, k, v, beta, alpha, s0, eta)
         return vjp(cotangents)
 
     do, dsT = cotangents
     n = q.shape[-2]
     n_pad = max(_round_up(n, 16), 16)
-    qf, kf, vf, bf, af = _flat_inputs(q, k, v, beta, alpha)
+    qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
     dof = jnp.swapaxes(_pad_tokens(do.astype(_F32), n_pad), 1, 2)
-    dqf, dkf, dvf, dbf, daf, ds0 = _gdr_pallas_bwd_flat(
-        qf, kf, vf, bf, af, states, dof, dsT.astype(_F32), _interpret())
+    dqf, dkf, dvf, dbf, def_, daf, ds0 = _gdr_pallas_bwd_flat(
+        qf, kf, vf, bf, ef, af, states, dof, dsT.astype(_F32),
+        _interpret())
 
     tr_back = lambda x: jnp.swapaxes(x, 1, 2)[:, :, :, :n]
     dq = tr_back(dqf).astype(q.dtype)
     dk = tr_back(dkf).astype(k.dtype)
     dv = tr_back(dvf)[..., : v.shape[-1]].astype(v.dtype)
     dbeta = tr_back(dbf)[..., 0].astype(beta.dtype)
+    deta = tr_back(def_)[..., 0].astype(eta.dtype)
     dalpha = jnp.transpose(daf[..., 0], (0, 2, 1)).astype(alpha.dtype)
-    return dq, dk, dv, dbeta, dalpha, ds0.astype(s0.dtype)
+    return dq, dk, dv, dbeta, dalpha, ds0.astype(s0.dtype), deta
 
 
-gdr_pallas_bh.defvjp(_fwd, _bwd)
+gdr_pallas_ew_bh.defvjp(_fwd, _bwd)

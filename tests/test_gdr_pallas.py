@@ -207,3 +207,43 @@ def test_pallas_fuzz_shapes(monkeypatch):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-3, atol=3e-4,
                                        err_msg=f"bwd trial {trial}")
+
+
+@pytest.mark.parametrize("mode", ["fused", "recompute"])
+def test_pallas_decoupled_gates(mode, monkeypatch):
+    """Decoupled erase/write kernel (gdr_pallas_ew_bh): forward + all
+    gradients ≡ the scan reference with independent η, and the coupled
+    wrapper still reproduces the classic rule exactly."""
+    monkeypatch.setenv("GDKVM_GDR_BWD", mode)
+    q, k, v, beta, alpha, s0 = _rand_bh(jax.random.PRNGKey(21),
+                                        B=1, H=2, T=3, N=7, dk=16, dv=16)
+    eta = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(22),
+                                           beta.shape))
+
+    o_ref, s_ref = gdr.gdr_ref_ew_bh(q, k, v, beta, alpha, s0, eta)
+    o_pl, s_pl = gdr_pallas.gdr_pallas_ew_bh(q, k, v, beta, alpha, s0, eta)
+    np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a)[0] ** 2) + jnp.sum(fn(*a)[1] ** 2)
+
+    g_pl = jax.grad(loss(gdr_pallas.gdr_pallas_ew_bh),
+                    argnums=tuple(range(7)))(q, k, v, beta, alpha, s0, eta)
+    g_ref = jax.grad(loss(gdr.gdr_ref_ew_bh),
+                     argnums=tuple(range(7)))(q, k, v, beta, alpha, s0, eta)
+    names = ["dq", "dk", "dv", "dbeta", "dalpha", "ds0", "deta"]
+    for name, a, b in zip(names, g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-4, err_msg=name)
+
+    # Coupled wrapper (β in both slots): dβ = dβ_write + dη_erase ≡ the
+    # classic coupled gradient.
+    g_c = jax.grad(loss(gdr_pallas.gdr_pallas_bh),
+                   argnums=(3,))(q, k, v, beta, alpha, s0)[0]
+    g_cr = jax.grad(loss(gdr.gdr_ref_bh),
+                    argnums=(3,))(q, k, v, beta, alpha, s0)[0]
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_cr),
+                               rtol=3e-3, atol=3e-4)
