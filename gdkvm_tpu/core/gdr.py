@@ -220,20 +220,33 @@ def gdr_chunked(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
                 alpha: jax.Array, s0: jax.Array,
                 eta: jax.Array | None = None
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Chunkwise-parallel GDR over a sequence: scan over frames, closed form
-    within each frame.  Differentiable; the training path.
+    """Chunkwise-parallel GDR over a sequence.  Differentiable; the
+    training path.
+
+    The WY transform of a frame does NOT depend on the carried state, so
+    all T frames' triangular solves run in PARALLEL (one batched vmap —
+    large MXU-efficient matmuls), and the sequential scan body shrinks to
+    three matmuls per frame (decay, read, rank-N write).  Measured on the
+    256² recipe: with the solve inside the scan the two GDR while-loops
+    cost 11.7 ms of a 33 ms train step (device trace); hoisting it out
+    removes that serialization (the scan transpose also only spans the
+    tiny body — the solve's backward is batched too).
 
     Shapes: see module docstring.  Returns (o (T,N,d_v) fp32, s_T fp32).
     """
-    eta = beta if eta is None else eta
+    # All frames' WY solves at once: (T,N,dv), (T,N,dk).
+    u, w = jax.vmap(_wy_transform)(k, v, beta,
+                                   beta if eta is None else eta)
 
     def frame(s, xs):
-        q_t, k_t, v_t, b_t, a_t, e_t = xs
-        s, o_t = gdr_frame_chunked(s, q_t, k_t, v_t, b_t, a_t, e_t)
+        q_t, k_t, u_t, w_t, a_t = xs
+        s = a_t.astype(jnp.float32) * s
+        o_t = _mm(q_t.astype(jnp.float32), s)
+        s = s + _mm(k_t.astype(jnp.float32).T, u_t - _mm(w_t, s))
         return s, o_t
 
     s_t, o = jax.lax.scan(frame, s0.astype(jnp.float32),
-                          (q, k, v, beta, alpha, eta))
+                          (q, k, u, w, alpha))
     return o, s_t
 
 
