@@ -496,6 +496,71 @@ def cmd_serve_check(argv) -> int:
     return 0
 
 
+def cmd_parity(argv) -> int:
+    """Clinical parity protocols: CAMUS official ED/ES per-patient scoring
+    (Dice + HD95 per structure/view) or EchoNet EF estimation from
+    predicted masks — ready to run unmodified on the real artifacts
+    (eval/parity.py docstring has the protocol definitions)."""
+    import os
+    import jax
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.eval import parity
+    from gdkvm_tpu.io.checkpoint import CheckpointManager
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+    from gdkvm_tpu.train.loop import abstract_train_state, eval_params, \
+        make_optimizer
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm parity")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--protocol", choices=("camus", "echonet-ef", "auto"),
+                   default="auto", help="auto = by data.dataset")
+    p.add_argument("--split", default=None,
+                   help="default: data.val_split (camus) / VAL (echonet)")
+    p.add_argument("--num-videos", type=int, default=None,
+                   help="echonet-ef: cap videos scored")
+    p.add_argument("--max-patients", type=int, default=None,
+                   help="camus: cap patients scored")
+    p.add_argument("--no-hd95", action="store_true")
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+
+    model = GDKVM(cfg=cfg.model)
+    ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
+                                               "checkpoints")
+    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        tpl = abstract_train_state(cfg, model, make_optimizer(cfg),
+                                   jax.random.PRNGKey(0))
+        state = CheckpointManager(ckpt_dir).restore(tpl)
+        params = jax.device_put(eval_params(state, cfg))
+    else:
+        print("warning: no checkpoint found — scoring an UNTRAINED init",
+              file=sys.stderr)
+        params = init_params(model, jax.random.PRNGKey(0),
+                             cfg.data.image_size)
+
+    protocol = args.protocol
+    if protocol == "auto":
+        protocol = "echonet-ef" if cfg.data.dataset == "echonet" else "camus"
+    if protocol == "camus":
+        out = parity.camus_official(
+            cfg, model, params, split=args.split or cfg.data.val_split,
+            with_hd95=not args.no_hd95, max_patients=args.max_patients)
+    else:
+        out = parity.echonet_ef(cfg, model, params,
+                                split=args.split or "VAL",
+                                num_videos=args.num_videos)
+    table = out.pop("table", None)
+    per_video = out.pop("per_video", None)
+    if table:
+        print(table, file=sys.stderr)
+    if per_video is not None:
+        out["per_video"] = per_video
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_convert_camus(argv) -> int:
     """Convert raw CAMUS (MetaImage .mhd) into the processed PNG layout."""
     from gdkvm_tpu.data.camus_raw import convert_raw_camus
@@ -523,6 +588,7 @@ _COMMANDS = {
     "scale": cmd_scale,
     "pack": cmd_pack,
     "convert-camus": cmd_convert_camus,
+    "parity": cmd_parity,
     "export": cmd_export,
     "serve-check": cmd_serve_check,
     "infer": cmd_infer,

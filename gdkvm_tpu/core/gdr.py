@@ -17,7 +17,7 @@ Semantics (one frame = one chunk of N spatial tokens):
 
 Reads use the *decayed pre-write* state, so a frame never attends to its own
 writes through the memory; intra-frame interactions are KPFF's job
-(see gdkvm_tpu/core/kpff.py).
+(see ``KPFFBlock`` in gdkvm_tpu/models/decoder.py).
 
 Three interchangeable implementations, parity-tested in
 tests/test_gdr.py:

@@ -149,7 +149,11 @@ def build_video_cache(dataset, clip_len: int, sharding=None,
     """Decode every video once (the only host pass), pad, upload.
 
     Videos shorter than clip_len are tiled up to it so any window is
-    in-bounds.  When ``max_bytes`` is set, the TRUE padded size (known
+    in-bounds.  Known divergence from the host path: for such sub-clip
+    videos every sampled window sees the same frame-0-anchored tiled
+    prefix, whereas the host loader (echonet.py ``idxs % t_total``) wraps
+    from arbitrary starts — a sampling-distribution difference confined to
+    videos with fewer frames than clip_len.  When ``max_bytes`` is set, the TRUE padded size (known
     after decoding — the pre-upload estimate can undershoot when lengths
     vary) is checked before upload; returns None over budget so the
     caller can fall back to the host pipeline instead of OOMing HBM.

@@ -194,8 +194,13 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
     FileList.csv + VolumeTracings.csv with rectangle-ish LV traces)."""
     if not _HAS_CV2:
         raise ImportError("materializer requires OpenCV")
+    # Area–length EF from the GT masks (same rule the parity protocol
+    # applies to predictions — eval/parity.py), so a perfect model scores
+    # ~0 EF MAE on this stand-in, exactly like real EchoNet's EF column.
+    from gdkvm_tpu.eval.parity import detect_ed_es, ef_from_volumes, \
+        lv_volume_area_length
     os.makedirs(os.path.join(root, "Videos"), exist_ok=True)
-    rows = [("FileName", "Split")]
+    rows = [("FileName", "EF", "Split")]
     trows = [("FileName", "X1", "Y1", "X2", "Y2", "Frame")]
     splits = ["TRAIN"] * num_train + ["VAL"] * num_val
     for i, split in enumerate(splits):
@@ -208,7 +213,11 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
         for t in range(num_frames):
             vw.write(frames[t, :, :, 0])
         vw.release()
-        rows.append((name, split))
+        vols = np.array([lv_volume_area_length(masks[t] == 1)
+                         for t in range(num_frames)])
+        i_ed, i_es = detect_ed_es(vols)
+        ef = ef_from_volumes(vols[i_ed], vols[i_es])
+        rows.append((name, f"{ef:.4f}", split))
         # Trace ED (frame 0) and ES (mid) as parallel chords of the mask.
         for fr in (0, num_frames // 2):
             m = masks[fr]

@@ -31,7 +31,16 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
     k = cfg.model.num_classes
     try:
         dataset = make_dataset(cfg.data, cfg.data.val_split, k)
-    except FileNotFoundError:
+    except FileNotFoundError as exc:
+        # Loud, not silent: a typo'd data_path would otherwise train the
+        # full run with no eval and no signal.
+        import logging
+        import warnings
+        msg = (f"eval: val split {cfg.data.val_split!r} not found under "
+               f"{cfg.data.data_path!r} ({exc}); SKIPPING evaluation — "
+               f"check data_path / val_split")
+        logging.getLogger("gdkvm").warning(msg)
+        warnings.warn(msg, stacklevel=2)
         return {}
 
     # Eval batch must tile the data axis; pad with the eval batch size.
@@ -73,7 +82,11 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
             if len(vis_jobs) * bs < vis_budget:
                 vis_jobs.append((batch.frames, batch.masks, pred_mid))
             if hd_on:
-                hd_jobs.append((pred_all, batch.masks, batch.valid))
+                # Fetch to host immediately (off the timed path) so the
+                # full (B,T,H,W) uint8 prediction buffers don't pile up in
+                # HBM for the whole eval pass on large val splits.
+                hd_jobs.append(jax.device_get(
+                    (pred_all, batch.masks, batch.valid)))
     if not parts:
         return {}
     parts = jax.device_get(parts)
@@ -101,9 +114,8 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
         per_class: Dict[str, list] = {}
         n_inf = 0
         n_pairs = 0          # (frame, class) pairs where the class exists
-        for pred_d, masks_d, valid_d in hd_jobs:
-            pred_h, masks_h, valid_h = map(np.asarray, jax.device_get(
-                (pred_d, masks_d, valid_d)))
+        for pred_h, masks_h, valid_h in (map(np.asarray, j)
+                                         for j in hd_jobs):
             b, t = valid_h.shape
             for i in range(b):
                 for tt in range(t):

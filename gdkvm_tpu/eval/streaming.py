@@ -149,7 +149,8 @@ class StreamingSegmenter:
         self._apply = _jitted_apply(model, donate_state)
         self.state: Optional[StreamState] = None
 
-    def reset(self, batch: int = 1) -> None:
+    def reset(self) -> None:
+        """Drop the carried memory (next feed starts a fresh recurrence)."""
         self.state = None
 
     def feed(self, frames_u8: jax.Array) -> jax.Array:

@@ -63,6 +63,12 @@ def export_streaming(model, params, *, image_size: int, chunk: int = 16,
     from jax import export as jexport
 
     c = model.cfg
+    if platforms is not None and len(tuple(platforms)) > 1 \
+            and getattr(c, "gdr_impl", "chunked") != "chunked":
+        raise ValueError(
+            f"multi-platform export (platforms={tuple(platforms)}) requires "
+            f"the pure-XLA GDR path: set model.gdr_impl='chunked' (got "
+            f"{c.gdr_impl!r} — the Pallas kernel lowers for TPU only)")
     step = jax.jit(_streaming_step_fn(model, params))
     args = (
         jax.ShapeDtypeStruct((batch, chunk, image_size, image_size,

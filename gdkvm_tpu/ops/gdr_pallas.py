@@ -528,10 +528,16 @@ def _fwd(q, k, v, beta, alpha, s0, eta):
     return (o, s_t), (q, k, v, beta, alpha, s0, eta, states)
 
 
+# "recompute" (XLA chunked form — measured fastest, see module docstring)
+# | "fused" (reverse-scan Pallas kernel).  Read ONCE at import: the mode is
+# baked into each jitted trace (residual structure differs), so a later env
+# change could never affect already-compiled shapes anyway — set it before
+# importing gdkvm_tpu.
+_BWD_MODE = os.environ.get("GDKVM_GDR_BWD", "recompute")
+
+
 def _bwd_mode() -> str:
-    # "recompute" (XLA chunked form — measured fastest, see module
-    # docstring) | "fused" (reverse-scan Pallas kernel).
-    return os.environ.get("GDKVM_GDR_BWD", "recompute")
+    return _BWD_MODE
 
 
 def _bwd(residuals, cotangents):

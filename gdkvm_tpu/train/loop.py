@@ -157,7 +157,11 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # Under accumulation this is the per-MICRO-step norm (the optimizer
+        # applies the accumulated average); name it so grad_clip tuning
+        # isn't misled.
+        norm_key = "micro_grad_norm" if t.accum_steps > 1 else "grad_norm"
+        metrics[norm_key] = optax.global_norm(grads)
         ema = state.ema_params
         if ema is not None:
             d = jnp.float32(t.ema_decay)

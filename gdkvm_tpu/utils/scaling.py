@@ -20,19 +20,81 @@ from typing import Dict, Union
 Number = Union[int, float, str]
 
 
+_NUM_RE = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _parse_expr(s: str, pos: int = 0):
+    """Tiny recursive-descent parser for products/powers of numbers.
+
+    Grammar (all arithmetic in float — ``math.pow`` saturates to inf
+    instead of building astronomically large ints, so hostile inputs like
+    ``9**9**9`` return inf and are rejected by the finiteness check, never
+    hung on):
+
+        expr   := factor (('*' | '/') factor)*
+        factor := atom ('**' factor)?          (right-assoc power)
+        atom   := NUMBER | '(' expr ')'
+    """
+    def skip_ws(p):
+        while p < len(s) and s[p] == " ":
+            p += 1
+        return p
+
+    def atom(p):
+        p = skip_ws(p)
+        if p < len(s) and s[p] == "(":
+            val, p = expr(p + 1)
+            p = skip_ws(p)
+            if p >= len(s) or s[p] != ")":
+                raise ValueError("unbalanced parenthesis")
+            return val, p + 1
+        m = _NUM_RE.match(s, p)
+        if not m:
+            raise ValueError(f"expected a number at position {p}")
+        return float(m.group()), m.end()
+
+    def factor(p):
+        base, p = atom(p)
+        p = skip_ws(p)
+        if s.startswith("**", p):
+            exp, p = factor(p + 2)
+            return math.pow(base, exp), p
+        return base, p
+
+    def expr(p):
+        val, p = factor(p)
+        while True:
+            p = skip_ws(p)
+            if p < len(s) and s[p] == "*" and not s.startswith("**", p):
+                rhs, p = factor(p + 1)
+                val *= rhs
+            elif p < len(s) and s[p] == "/":
+                rhs, p = factor(p + 1)
+                val /= rhs
+            else:
+                return val, p
+
+    val, end = expr(pos)
+    if skip_ws(end) != len(s):
+        raise ValueError(f"trailing input at position {end}")
+    return val
+
+
 def parse_count(value: Number) -> float:
-    """Parse liberal numeric notations: 1e8, 3.5×10^6, 2*10^7, 1_000_000."""
+    """Parse liberal numeric notations: 1e8, 3.5×10^6, 2*10^7, 1_000_000.
+
+    Uses a closed arithmetic grammar (numbers, ``*``, ``/``, ``**``,
+    parens) evaluated in float — no ``eval``, no unbounded integer powers.
+    """
     if isinstance(value, (int, float)):
         out = float(value)
     else:
         s = value.strip().replace(",", "").replace("_", "")
         s = s.replace("×", "*").replace("x", "*").replace("X", "*")
         s = s.replace("^", "**")
-        if not re.fullmatch(r"[0-9eE+\-.*() ]+", s):
-            raise ValueError(f"cannot parse numeric input {value!r}")
         try:
-            out = float(eval(s, {"__builtins__": {}}, {}))  # arithmetic only
-        except Exception as exc:
+            out = float(_parse_expr(s))
+        except (ValueError, ZeroDivisionError, OverflowError) as exc:
             raise ValueError(f"cannot parse numeric input {value!r}") from exc
     if not math.isfinite(out) or out <= 0:
         raise ValueError(f"value must be a positive finite number, "

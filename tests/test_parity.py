@@ -1,0 +1,170 @@
+"""Clinical parity protocols (eval/parity.py): geometry laws, protocol
+exactness with ground-truth predictions, and CLI smoke."""
+
+import numpy as np
+import pytest
+
+from gdkvm_tpu.eval import parity
+
+
+def _disk(h, w, cy, cx, r):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r)
+
+
+def test_long_axis_of_ellipse():
+    # Axis-aligned ellipse: long axis ≈ 2·ry (vertical major axis).
+    yy, xx = np.mgrid[0:128, 0:128]
+    m = ((yy - 64) / 40.0) ** 2 + ((xx - 64) / 15.0) ** 2 <= 1.0
+    length = parity.lv_long_axis_px(m)
+    assert abs(length - 80) < 4
+
+
+def test_volume_area_length_scales_cubically():
+    # V = 8A²/(3πL): doubling the radius scales A by 4, L by 2 → V by 8.
+    v1 = parity.lv_volume_area_length(_disk(256, 256, 128, 128, 20))
+    v2 = parity.lv_volume_area_length(_disk(256, 256, 128, 128, 40))
+    assert v1 > 0
+    assert abs(v2 / v1 - 8.0) < 0.5
+    assert parity.lv_volume_area_length(np.zeros((8, 8), bool)) == 0.0
+
+
+def test_detect_ed_es_on_sine_trace():
+    t = np.arange(48)
+    vols = 100 + 40 * np.cos(2 * np.pi * t / 24.0)   # beats at t=0,24
+    i_ed, i_es = parity.detect_ed_es(vols)
+    assert i_ed % 24 == 0
+    assert i_es % 24 == 12
+
+
+def test_ef_from_volumes():
+    assert parity.ef_from_volumes(100.0, 40.0) == pytest.approx(60.0)
+    assert parity.ef_from_volumes(0.0, 0.0) == 0.0
+
+
+def test_dice_bin_degenerate():
+    a = np.zeros((4, 4), bool)
+    assert parity.dice_bin(a, a) == 1.0
+    b = a.copy()
+    b[0, 0] = True
+    assert parity.dice_bin(a, b) < 0.1
+
+
+def _camus_cfg(tmp_path, image_size=64):
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.data.camus import materialize_synthetic_camus
+    root = str(tmp_path / "camus")
+    materialize_synthetic_camus(root, num_train=2, num_val=4,
+                                image_size=image_size, clip_len=6,
+                                num_classes=4)
+    return load_config(None, [
+        f"data.data_path={root}", "data.dataset=camus",
+        f"data.image_size={image_size}", "data.clip_len=6",
+        "model.num_classes=4",
+        f"runtime.run_dir={tmp_path}/run",
+    ])
+
+
+def test_camus_protocol_exact_on_ground_truth(tmp_path):
+    """Feeding GT through the protocol must read Dice 1.0 / HD95 0.0 —
+    the protocol-exactness guarantee real-data parity runs rely on."""
+    cfg = _camus_cfg(tmp_path)
+    from gdkvm_tpu.data.camus import CamusDataset
+    ds = CamusDataset(cfg.data.data_path, "val", image_size=64,
+                      clip_len=6, num_classes=4)
+    gt_by_order = {}
+    for i in range(len(ds)):
+        _, m, _ = ds[i]
+        gt_by_order[i] = m
+    calls = {"n": 0}
+
+    def predict_fn(frames):
+        b = frames.shape[0]
+        lo = calls["n"]
+        calls["n"] += b
+        out = []
+        for j in range(b):
+            idx = min(lo + j, len(ds) - 1)   # tail padding repeats last
+            out.append(gt_by_order[idx])
+        return np.stack(out)
+
+    res = parity.camus_official(cfg, model=None, params=None, split="val",
+                                batch_size=4, predict_fn=predict_fn)
+    assert res["n_patients"] >= 2
+    for view in res["per_structure"].values():
+        for structure in view.values():
+            for cell in structure.values():
+                assert cell["dice_mean"] == pytest.approx(1.0, abs=1e-6)
+                if "hd95_mean" in cell:
+                    assert cell["hd95_mean"] == pytest.approx(0.0)
+    assert "| View | Structure |" in res["table"]
+    assert res["dice_mean_overall"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_camus_protocol_with_model(tmp_path):
+    """Protocol runs end-to-end through an (untrained) model forward."""
+    import jax
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+    cfg = _camus_cfg(tmp_path, image_size=48)
+    cfg.model.enc_channels = (8, 16, 24, 32)
+    cfg.model.num_heads = 2
+    cfg.model.head_dim_k = 8
+    cfg.model.head_dim_v = 8
+    model = GDKVM(cfg=cfg.model)
+    params = init_params(model, jax.random.PRNGKey(0), 48)
+    res = parity.camus_official(cfg, model, params, split="val",
+                                batch_size=2, with_hd95=False,
+                                max_patients=2)
+    assert res["n_patients"] == 2
+    assert 0.0 <= res["dice_mean_overall"] <= 1.0
+
+
+def test_echonet_ef_exact_on_ground_truth(tmp_path):
+    """GT masks through the EF protocol must reproduce the materializer's
+    EF labels (same area–length rule) to float precision."""
+    cv2 = pytest.importorskip("cv2")
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.data import synthetic
+    from gdkvm_tpu.data.echonet import materialize_synthetic_echonet
+    root = str(tmp_path / "echonet")
+    materialize_synthetic_echonet(root, num_train=1, num_val=3,
+                                  num_frames=24, image_size=64, seed=5)
+    labels = parity.read_ef_labels(root)
+    assert len(labels) == 4
+    cfg = load_config(None, [
+        f"data.data_path={root}", "data.dataset=echonet",
+        "data.image_size=64", "model.num_classes=2",
+        f"runtime.run_dir={tmp_path}/run",
+    ])
+
+    def segment_fn(video, name):
+        i = int(name.replace("synth", "").replace(".avi", ""))
+        _, masks = synthetic.generate_video(5 * 104729 + i,
+                                            video.shape[0], 64, 64, 2)
+        return masks
+
+    res = parity.echonet_ef(cfg, model=None, params=None, split="VAL",
+                            segment_fn=segment_fn)
+    assert res["n_scored"] == 3
+    assert res["ef_mae"] == pytest.approx(0.0, abs=1e-3)
+    assert "| Metric | Value |" in res["table"]
+
+
+def test_parity_cli_camus(tmp_path, capsys):
+    import json
+    from gdkvm_tpu.cli import main
+    from gdkvm_tpu.data.camus import materialize_synthetic_camus
+    root = str(tmp_path / "camus")
+    materialize_synthetic_camus(root, num_train=1, num_val=2,
+                                image_size=48, clip_len=4, num_classes=4)
+    rc = main(["parity", "--no-hd95", "--max-patients", "1",
+               f"data.data_path={root}", "data.dataset=camus",
+               "data.image_size=48", "data.clip_len=4",
+               "model.num_classes=4",
+               "model.enc_channels=[8,16,24,32]", "model.num_heads=2",
+               "model.head_dim_k=8", "model.head_dim_v=8",
+               f"runtime.run_dir={tmp_path}/run"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["protocol"] == "camus_official_ed_es_per_patient"
+    assert out["n_patients"] == 1
