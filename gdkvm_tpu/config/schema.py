@@ -76,6 +76,12 @@ class DataConfig:
     # equals reset-state (the memory goes unused).
     occlude_prob: float = 0.0
     seed: int = 0
+    # Synthetic-generator difficulty ∈ [0,1]: 0 = easy legacy clips, >0
+    # blends in the clinical-artifact bank (shadowing, probe drift, TGC
+    # decay, clutter, out-of-plane swings — data/synthetic.py).  The
+    # discriminative-benchmark knob: at 0 the synthetic CAMUS benchmark is
+    # quality-saturated and cannot rank models.
+    synth_difficulty: float = 0.0
     # HBM-resident dataset cache (data/device_cache.py): upload the whole
     # training split once, sample+augment on device — zero per-step host
     # transfer (the host link costs ~55 ms + bytes/60MB/s per batch on the

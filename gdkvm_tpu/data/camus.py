@@ -88,7 +88,8 @@ class CamusDataset:
 def materialize_synthetic_camus(root: str, num_train: int = 16,
                                 num_val: int = 4, image_size: int = 256,
                                 clip_len: int = 10, num_classes: int = 4,
-                                seed: int = 0) -> None:
+                                seed: int = 0,
+                                difficulty: float = 0.0) -> None:
     """Write synthetic clips in the camus_png256x256_10f layout."""
     counters = {"train": num_train, "val": num_val}
     idx = 0
@@ -100,7 +101,7 @@ def materialize_synthetic_camus(root: str, num_train: int = 16,
             os.makedirs(clip_dir, exist_ok=True)
             frames, masks = synthetic.generate_clip(
                 seed * 7919 + idx, clip_len, image_size, image_size,
-                num_classes)
+                num_classes, difficulty)
             idx += 1
             for t in range(clip_len):
                 Image.fromarray(frames[t, :, :, 0]).save(

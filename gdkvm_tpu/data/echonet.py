@@ -188,7 +188,8 @@ class EchoNetDataset:
 
 def materialize_synthetic_echonet(root: str, num_train: int = 8,
                                   num_val: int = 2, num_frames: int = 32,
-                                  image_size: int = 112, seed: int = 0
+                                  image_size: int = 112, seed: int = 0,
+                                  difficulty: float = 0.0
                                   ) -> None:
     """Write synthetic cine loops in the EchoNet-Dynamic layout (AVI +
     FileList.csv + VolumeTracings.csv with rectangle-ish LV traces)."""
@@ -206,7 +207,8 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
     for i, split in enumerate(splits):
         name = f"synth{i:04d}.avi"
         frames, masks = synthetic.generate_video(
-            seed * 104729 + i, num_frames, image_size, image_size, 2)
+            seed * 104729 + i, num_frames, image_size, image_size, 2,
+            difficulty)
         path = os.path.join(root, "Videos", name)
         vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30,
                              (image_size, image_size), isColor=False)

@@ -45,7 +45,8 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int):
         return SyntheticDataset(num_clips=n, clip_len=cfg.clip_len,
                                 image_size=cfg.image_size,
                                 num_classes=num_classes,
-                                seed=cfg.seed + (0 if split == "train" else 1))
+                                seed=cfg.seed + (0 if split == "train" else 1),
+                                difficulty=cfg.synth_difficulty)
     if cfg.dataset == "camus":
         from gdkvm_tpu.data.camus import CamusDataset
         return CamusDataset(cfg.data_path, split=split,

@@ -218,7 +218,8 @@ def stream_evaluate(cfg, model: GDKVM, params,
         for i in range(num_videos):
             f, m = _synth.generate_video(1000 + i, video_len,
                                          cfg.data.image_size,
-                                         cfg.data.image_size, k)
+                                         cfg.data.image_size, k,
+                                         cfg.data.synth_difficulty)
             videos.append((f, m, np.ones((video_len,), np.float32)))
 
     if occlude:

@@ -113,3 +113,22 @@ def test_batch_iterator_deterministic_and_fast_forward():
     for x, y in zip(a[4:], c):
         np.testing.assert_array_equal(x.frames, y.frames)
         np.testing.assert_array_equal(x.masks, y.masks)
+
+
+def test_synthetic_difficulty_knob():
+    """difficulty=0 is the legacy generator; >0 degrades the image while
+    masks keep tracking the (now drifting) anatomy deterministically."""
+    from gdkvm_tpu.data import synthetic as s
+    f0a, m0a = s.generate_clip(11, 6, 64, 64, 4, difficulty=0.0)
+    f0b, m0b = s.generate_clip(11, 6, 64, 64, 4)   # default = 0
+    assert np.array_equal(f0a, f0b) and np.array_equal(m0a, m0b)
+    fh1, mh1 = s.generate_clip(11, 6, 64, 64, 4, difficulty=1.0)
+    fh2, mh2 = s.generate_clip(11, 6, 64, 64, 4, difficulty=1.0)
+    assert np.array_equal(fh1, fh2) and np.array_equal(mh1, mh2)
+    assert not np.array_equal(fh1, f0a)
+    # Artifacts darken/attenuate the image on average (shadow + TGC decay).
+    assert fh1.mean() < f0a.mean()
+    # Probe drift moves the true anatomy → masks differ from the easy clip.
+    assert (mh1 != m0a).mean() > 0.01
+    # All classes still present inside the cone.
+    assert set(np.unique(mh1)) == {0, 1, 2, 3}
