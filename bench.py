@@ -47,14 +47,11 @@ def main() -> None:
     from gdkvm_tpu.eval.throughput import measure_streaming_fps
     from gdkvm_tpu.models.gdkvm import GDKVM, init_params
 
-    # Default GDR impl is the XLA chunked scan: at EchoNet scale the GDR is
-    # ~1% of model time and XLA fuses it with the surrounding projections;
-    # the Pallas kernel (GDKVM_BENCH_PALLAS=1) wins at long-T/large-state
-    # shapes but pays layout transposes here (measured: 137k vs 108k f/s).
-    impl = "pallas" if os.environ.get("GDKVM_BENCH_PALLAS") == "1" else \
-        "chunked"
-    if jax.devices()[0].platform == "cpu":
-        impl = "chunked"
+    # "auto" = the transpose-free Pallas GDR kernel on TPU, XLA chunked on
+    # CPU; the r2 kernel relayout made Pallas win or tie XLA at every
+    # measured shape (BASELINE.md GDR crossover table).  Override with
+    # GDKVM_BENCH_IMPL=chunked|pallas for A/Bs.
+    impl = os.environ.get("GDKVM_BENCH_IMPL", "auto")
     cfg = ModelConfig(num_classes=2, in_channels=1, gdr_impl=impl)
 
     model = GDKVM(cfg=cfg)

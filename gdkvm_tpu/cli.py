@@ -98,8 +98,10 @@ def cmd_bench(argv) -> int:
             batch=args.batch)
     elif args.mode == "train":
         from gdkvm_tpu.data.pipeline import Batch
+        from gdkvm_tpu.models.gdkvm import train_model_config
         from gdkvm_tpu.train.loop import create_train_state, \
             make_optimizer, make_train_step
+        model = GDKVM(cfg=train_model_config(cfg.model))
         tx = make_optimizer(cfg)
         cfg.data.image_size = args.image_size
         state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
@@ -496,6 +498,145 @@ def cmd_serve_check(argv) -> int:
     return 0
 
 
+def cmd_serve(argv) -> int:
+    """Run the multi-stream streaming-segmentation HTTP server
+    (gdkvm_tpu/serve.py: session per stream, GDR state held server-side,
+    one jitted multi-stream step per tick)."""
+    import os
+    import jax
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.serve import BatchingEngine, make_server
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm serve")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--artifact", default=None,
+                   help="exported StableHLO artifact dir (must match "
+                        "--streams/--chunk)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8477)
+    p.add_argument("--streams", type=int, default=None,
+                   help="stream slots (default eval_stage.streams)")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="frames per device call (default "
+                        "eval_stage.stream_chunk)")
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+    streams = args.streams or max(cfg.eval_stage.streams, 1)
+    chunk = args.chunk or cfg.eval_stage.stream_chunk
+
+    if args.artifact:
+        engine = BatchingEngine(artifact=args.artifact, streams=streams,
+                                chunk=chunk)
+    else:
+        from gdkvm_tpu.io.checkpoint import CheckpointManager
+        from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+        from gdkvm_tpu.train.loop import abstract_train_state, \
+            eval_params, make_optimizer
+        model = GDKVM(cfg=cfg.model)
+        ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
+                                                   "checkpoints")
+        if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+            tpl = abstract_train_state(cfg, model, make_optimizer(cfg),
+                                       jax.random.PRNGKey(0))
+            state = CheckpointManager(ckpt_dir).restore(tpl)
+            params = jax.device_put(eval_params(state, cfg))
+        else:
+            print("warning: no checkpoint — serving an UNTRAINED init",
+                  file=sys.stderr)
+            params = init_params(model, jax.random.PRNGKey(0),
+                                 cfg.data.image_size)
+        engine = BatchingEngine(model=model, params=params, streams=streams,
+                                chunk=chunk, image_size=cfg.data.image_size)
+
+    srv = make_server(engine, args.host, args.port)
+    print(json.dumps({"serving": True,
+                      "host": srv.server_address[0],
+                      "port": srv.server_address[1],
+                      "streams": engine.streams, "chunk": engine.chunk,
+                      "image_size": engine.image_size}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.close()
+    return 0
+
+
+def cmd_serve_bench(argv) -> int:
+    """Client-side latency/throughput probe against a running gdkvm serve:
+    opens N concurrent sessions, streams synthetic videos, reports
+    submit→mask latency percentiles per chunk and aggregate frames/sec."""
+    import threading
+    import time
+    import numpy as np
+    from gdkvm_tpu.serve import ServeClient
+
+    p = argparse.ArgumentParser(prog="gdkvm serve-bench")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8477)
+    p.add_argument("--sessions", type=int, default=4)
+    p.add_argument("--frames", type=int, default=256,
+                   help="frames streamed per session")
+    args = p.parse_args(argv)
+
+    probe = ServeClient(args.host, args.port)
+    info = probe.health()
+    chunk, size = info["chunk"], info["image_size"]
+    lat_lock = threading.Lock()
+    lats, errors = [], []
+
+    def run_session(i):
+        rng = np.random.default_rng(i)
+        try:
+            c = ServeClient(args.host, args.port)
+            c.open()
+            done = 0
+            while done < args.frames:
+                video = rng.integers(0, 255, (chunk, size, size, 1),
+                                     np.uint8)
+                t0 = time.perf_counter()
+                masks = c.infer(video)
+                dt = time.perf_counter() - t0
+                assert masks.shape == (chunk, size, size)
+                with lat_lock:
+                    lats.append(dt)
+                done += chunk
+            c.close()
+        except Exception as exc:
+            with lat_lock:
+                errors.append(f"{type(exc).__name__}: {exc}")
+
+    threads = [threading.Thread(target=run_session, args=(i,))
+               for i in range(args.sessions)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    if errors:
+        print(json.dumps({"ok": False, "errors": errors[:3]}))
+        return 1
+    ms = np.array(lats) * 1e3
+    total_frames = args.sessions * args.frames
+    print(json.dumps({
+        "ok": True,
+        "sessions": args.sessions,
+        "chunk": chunk,
+        "frames_total": total_frames,
+        "frames_per_sec": round(total_frames / wall, 1),
+        "chunk_latency_ms_p50": round(float(np.percentile(ms, 50)), 2),
+        "chunk_latency_ms_p95": round(float(np.percentile(ms, 95)), 2),
+        "chunk_latency_ms_p99": round(float(np.percentile(ms, 99)), 2),
+        "latency_ms_per_frame_p50": round(
+            float(np.percentile(ms, 50)) / chunk, 3),
+    }))
+    return 0
+
+
 def cmd_parity(argv) -> int:
     """Clinical parity protocols: CAMUS official ED/ES per-patient scoring
     (Dice + HD95 per structure/view) or EchoNet EF estimation from
@@ -589,6 +730,8 @@ _COMMANDS = {
     "pack": cmd_pack,
     "convert-camus": cmd_convert_camus,
     "parity": cmd_parity,
+    "serve": cmd_serve,
+    "serve-bench": cmd_serve_bench,
     "export": cmd_export,
     "serve-check": cmd_serve_check,
     "infer": cmd_infer,

@@ -45,14 +45,17 @@ class ModelConfig:
     # Numerics.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
-    # Kernel selection for the GDR scan: "chunked" (pure JAX, differentiable)
-    # or "pallas" (TPU kernel, inference hot path).
-    gdr_impl: str = "chunked"
+    # Kernel selection for the GDR scan: "auto" (DEFAULT — the transpose-
+    # free Pallas TPU kernel on accelerators, XLA chunked on CPU; the
+    # kernel won or tied XLA at every measured v5e shape, BASELINE.md GDR
+    # crossover table), "chunked" (pure JAX — required for multi-platform
+    # export), "pallas" (force the kernel), "ref" (token scan, tests).
+    gdr_impl: str = "auto"
     # Recurrence variant: "gdn" (classic coupled gated delta rule — the
     # erase and write strengths share one β gate) or "gdn2" (decoupled:
     # a separate learned erase gate η per token/head, GDN-2 lineage,
     # arXiv 2605.22791 — the memory can overwrite without erasing and
-    # vice versa).  gdn2 runs through the XLA chunked path.
+    # vice versa).
     gdr_variant: str = "gdn"
 
 

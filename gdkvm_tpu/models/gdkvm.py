@@ -146,6 +146,20 @@ def create_model(cfg: ModelConfig) -> GDKVM:
     return GDKVM(cfg=cfg)
 
 
+def train_model_config(cfg: ModelConfig) -> ModelConfig:
+    """Resolve gdr_impl='auto' for a TRAINING trace: the pure-XLA chunked
+    form.  Under grad, XLA stores the forward's per-frame WY solves and
+    reuses them in the backward, while the Pallas kernel's recompute-vjp
+    performs them twice — measured 0.73-1.0× (pallas/xla) at every shape
+    on v5e with chained exec-forced timing (BASELINE.md GDR gradient
+    table).  Inference traces keep 'auto' → pallas, which wins there.
+    """
+    import dataclasses
+    if cfg.gdr_impl == "auto":
+        return dataclasses.replace(cfg, gdr_impl="chunked")
+    return cfg
+
+
 def init_params(model: GDKVM, rng: jax.Array, image_size: int,
                 clip_len: int = 2, batch: int = 1):
     """Initialize parameters with a dummy clip."""

@@ -48,8 +48,20 @@ class LKVAMemory(nn.Module):
     head_dim_v: int = 64
     out_channels: int = 128
     dtype: jnp.dtype = jnp.bfloat16
-    gdr_impl: str = "chunked"          # chunked | ref | pallas
+    gdr_impl: str = "auto"             # auto | chunked | ref | pallas
     gdr_variant: str = "gdn"           # gdn (η=β) | gdn2 (separate erase)
+
+    def _impl(self) -> str:
+        """Resolve 'auto' at trace time: the transpose-free Pallas kernel
+        won or tied the XLA chunked form at EVERY measured shape on v5e
+        (fwd 0.99-1.97×, see BASELINE.md GDR crossover table), so auto =
+        pallas on any real accelerator and chunked on CPU (where the
+        kernel would run in slow interpret mode)."""
+        if self.gdr_impl == "auto":
+            import jax as _jax
+            return "pallas" if _jax.default_backend() != "cpu" \
+                else "chunked"
+        return self.gdr_impl
 
     def setup(self):
         h, dk, dv = self.num_heads, self.head_dim_k, self.head_dim_v
@@ -167,20 +179,21 @@ class LKVAMemory(nn.Module):
         bh = beta.transpose(0, 3, 1, 2)
         ah = alpha.transpose(0, 2, 1)
 
+        impl = self._impl()
         if eta is not None:
             eh = eta.transpose(0, 3, 1, 2)
-            if self.gdr_impl == "ref":
+            if impl == "ref":
                 o, new_state = gdr.gdr_ref_ew_bh(qh, kh, vh, bh, ah,
                                                  state, eh)
-            elif self.gdr_impl == "pallas":
+            elif impl == "pallas":
                 o, new_state = gdr_pallas_mod().gdr_pallas_ew_bh(
                     qh, kh, vh, bh, ah, state, eh)
             else:
                 o, new_state = gdr.gdr_chunked_ew_bh(qh, kh, vh, bh, ah,
                                                      state, eh)
-        elif self.gdr_impl == "ref":
+        elif impl == "ref":
             o, new_state = gdr.gdr_ref_bh(qh, kh, vh, bh, ah, state)
-        elif self.gdr_impl == "pallas":
+        elif impl == "pallas":
             o, new_state = gdr_pallas_mod().gdr_pallas_bh(
                 qh, kh, vh, bh, ah, state)
         else:

@@ -32,20 +32,25 @@ blocked BACKWARD substitution mirroring the forward one.  dα leaves the
 kernel as a lane-broadcast (H,128) row per frame (Mosaic has no scalar
 outputs).
 
-**Measured outcome (v5e, 2026-08-16): the recompute-through-XLA backward
-is the better TPU design and is the DEFAULT** (``GDKVM_GDR_BWD=fused``
-opts into the kernel).  ms/grad-step fused vs recompute vs pure-XLA, B·H=4,
-dk=dv=64: T=16/N=49: 2.92/2.72/2.78; T=128/N=196: 8.38/6.17/7.39;
-T=256/N=196: 13.98/9.66/12.49; B=8/T=10/N=256: 7.01/4.90/5.88; T=512/N=49:
-9.02/7.28/10.95.  Why: the backward's heavy per-frame work (solve
-recompute, dq/dk/dv matmuls) is INDEPENDENT across frames once the dS
-carries are known; XLA's scan transpose recomputes it batched across the
-whole sequence and only serializes the tiny dS chain, while a single
-sequential kernel serializes everything behind the carry.  The fused
-kernel is kept (parity-tested both modes) for the record and for future
-megacore-style hardware where grid steps overlap.  Note "recompute" still
-pairs the Pallas FORWARD with the XLA backward via this custom_vjp — that
-combination beats pure-XLA fwd+bwd at every shape above.
+**Measured outcome (v5e): of the two kernel backwards, the
+recompute-through-XLA one is the better TPU design and is the DEFAULT**
+(``GDKVM_GDR_BWD=fused`` opts into the fused reverse-scan kernel).  Why:
+the backward's heavy per-frame work (solve recompute, dq/dk/dv matmuls) is
+INDEPENDENT across frames once the dS carries are known; XLA's scan
+transpose recomputes it batched across the whole sequence and only
+serializes the tiny dS chain, while a single sequential kernel serializes
+everything behind the carry.  The fused kernel is kept (parity-tested both
+modes) for the record and for future megacore-style hardware where grid
+steps overlap.
+
+**For TRAINING, however, pure XLA beats even Pallas-fwd+XLA-bwd at every
+shape** (r2 scan-chained measurement, BASELINE.md GDR gradient crossover):
+under grad XLA stores the forward's solves and reuses them in the
+backward, while this custom_vjp recompute path performs them twice.
+``gdr_impl: auto`` therefore resolves to the XLA chunked form for training
+traces (models.gdkvm.train_model_config) and to this kernel for inference
+traces, where its transpose-free forward wins or ties everywhere
+(0.99-1.97×, BASELINE.md).
 
 Adjoint derivation (per head; g = dS_new, upper-case = matrices):
 
@@ -235,7 +240,13 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
                 eta_ref, s0_ref, *rest):
     """One (b, t) grid step: advance all H heads' states one frame.
 
-    alpha_ref is a scalar-prefetch arg: the full (B, T, H) gate table lives
+    Operands arrive in the model's native (B, H, T, N, d) layout — the
+    BlockSpecs slice (1, H, 1, N, d) blocks straight out of it, so NO
+    transpose is materialized at the pallas_call boundary (the r1 kernel
+    swapped to (B,T,H,...) first, and those copies were exactly why it
+    lost to XLA at EchoNet scale — BASELINE.md GDR crossover rows).
+
+    alpha_ref is a scalar-prefetch arg: the full (B, H, T) gate table lives
     in SMEM for the whole kernel (PrefetchScalarGridSpec).  The state
     scratch (H, dk, dv) persists in VMEM across the sequential T grid dim.
     With ``save_states`` the pre-decay state S_{t-1} is also streamed out
@@ -256,22 +267,22 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
         s_scr[:] = s0_ref[0].astype(_F32)
 
     if states_ref is not None:
-        states_ref[0, 0] = s_scr[:]          # S_{t-1}, pre-decay
+        states_ref[0, :, 0] = s_scr[:]       # S_{t-1}, pre-decay
 
-    h = q_ref.shape[2]
-    q = q_ref[0, 0].astype(_F32)            # (H, N, dk)
-    k = k_ref[0, 0].astype(_F32)            # (H, N, dk)
-    v = v_ref[0, 0].astype(_F32)            # (H, N, dv)
-    beta = beta_ref[0, 0].astype(_F32)      # (H, N, 1)
-    eta = eta_ref[0, 0].astype(_F32)        # (H, N, 1)
+    h = q_ref.shape[1]
+    q = q_ref[0, :, 0].astype(_F32)         # (H, N, dk)
+    k = k_ref[0, :, 0].astype(_F32)         # (H, N, dk)
+    v = v_ref[0, :, 0].astype(_F32)         # (H, N, dv)
+    beta = beta_ref[0, :, 0].astype(_F32)   # (H, N, 1)
+    eta = eta_ref[0, :, 0].astype(_F32)     # (H, N, 1)
 
     # Decay each head's state in place (scalar × 2D slice — Mosaic-friendly;
     # a (H,) vector → (H,1,1) broadcast is an unsupported shape cast).
     for i in range(h):
-        s_scr[i] = alpha_ref[b, t, i].astype(_F32) * s_scr[i]
+        s_scr[i] = alpha_ref[b, i, t].astype(_F32) * s_scr[i]
 
     s_new, o = _frame_math(s_scr[:], q, k, v, beta, eta)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o_ref[0, :, 0] = o.astype(o_ref.dtype)
     s_scr[:] = s_new
 
     @pl.when(t == n_t - 1)
@@ -299,38 +310,38 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
     def _():
         ds_scr[:] = dsT_ref[0].astype(_F32)
 
-    h = q_ref.shape[2]
-    s_prev = states_ref[0, 0]               # (H, dk, dv) fp32 checkpoint
+    h = q_ref.shape[1]
+    s_prev = states_ref[0, :, 0]            # (H, dk, dv) fp32 checkpoint
     # Recompute the decayed state S̃ (scalar × 2D per head).
     for j in range(h):
-        sdec_scr[j] = alpha_ref[b, t, j].astype(_F32) * s_prev[j]
+        sdec_scr[j] = alpha_ref[b, j, t].astype(_F32) * s_prev[j]
 
-    q = q_ref[0, 0].astype(_F32)
-    k = k_ref[0, 0].astype(_F32)
-    v = v_ref[0, 0].astype(_F32)
-    beta = beta_ref[0, 0].astype(_F32)
-    eta = eta_ref[0, 0].astype(_F32)
+    q = q_ref[0, :, 0].astype(_F32)
+    k = k_ref[0, :, 0].astype(_F32)
+    v = v_ref[0, :, 0].astype(_F32)
+    beta = beta_ref[0, :, 0].astype(_F32)
+    eta = eta_ref[0, :, 0].astype(_F32)
 
-    do = do_ref[0, 0].astype(_F32)
+    do = do_ref[0, :, 0].astype(_F32)
     ds_dec, dq, dk, dv, dbeta, deta = _frame_adjoint(
         sdec_scr[:], q, k, v, beta, eta, ds_scr[:], do)
 
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
-    dbeta_ref[0, 0] = dbeta.astype(dbeta_ref.dtype)
-    deta_ref[0, 0] = deta.astype(deta_ref.dtype)
+    dq_ref[0, :, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, :, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, :, 0] = dv.astype(dv_ref.dtype)
+    dbeta_ref[0, :, 0] = dbeta.astype(dbeta_ref.dtype)
+    deta_ref[0, :, 0] = deta.astype(deta_ref.dtype)
 
     # dα per head as a lane-broadcast (1,128) row (no scalar outputs in
     # Mosaic); the wrapper reads lane 0.
-    dalpha_ref[0, 0] = jnp.concatenate(
+    dalpha_ref[0, :, 0] = jnp.concatenate(
         [jnp.full((1, 128), jnp.sum(ds_dec[j] * s_prev[j]), _F32)
          for j in range(h)], axis=0)
 
     # Carry: dS_{t-1} = α_t ⊙ dS̃_t  (+ the checkpoint read has no cotangent
     # — S_{t-1} enters only via S̃ and dα, both handled above).
     for j in range(h):
-        ds_scr[j] = alpha_ref[b, t, j].astype(_F32) * ds_dec[j]
+        ds_scr[j] = alpha_ref[b, j, t].astype(_F32) * ds_dec[j]
 
     @pl.when(i_rev == n_t - 1)
     def _():
@@ -340,37 +351,42 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
 def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
                      beta: jax.Array, eta: jax.Array, alpha: jax.Array,
                      s0: jax.Array, interpret: bool, save_states: bool):
-    """Flat (B, T, H, N, d) invocation.  N must be pre-padded (β=0 on pads).
+    """Flat (B, H, T, N, d) invocation — the API layout, consumed directly.
+    N must be pre-padded (β=0 on pads).
 
     All H heads advance together per grid step (head-batched matmuls), so
-    the sequential grid is only (B, T) — fewer, larger steps.
+    the sequential grid is only (B, T) — fewer, larger steps.  Each grid
+    step DMAs H strided (N, d) slabs per operand; no transposed copies are
+    ever materialized.
     """
-    b, t, h, n, dk = q.shape
+    b, h, t, n, dk = q.shape
     dv = v.shape[-1]
-    beta2 = beta[..., None]                 # (B,T,H,N,1)
+    beta2 = beta[..., None]                 # (B,H,T,N,1)
     eta2 = eta[..., None]
 
+    blk = lambda d: pl.BlockSpec((1, h, 1, n, d),
+                                 lambda g, i, *_: (g, 0, i, 0, 0))
     out_shape = [
-        jax.ShapeDtypeStruct((b, t, h, n, dv), _F32),
+        jax.ShapeDtypeStruct((b, h, t, n, dv), _F32),
         jax.ShapeDtypeStruct((b, h, dk, dv), _F32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, h, n, dv), lambda g, i, *_: (g, i, 0, 0, 0)),
+        blk(dv),
         pl.BlockSpec((1, h, dk, dv), lambda g, i, *_: (g, 0, 0, 0)),
     ]
     if save_states:
-        out_shape.append(jax.ShapeDtypeStruct((b, t, h, dk, dv), _F32))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, t, dk, dv), _F32))
         out_specs.append(
-            pl.BlockSpec((1, 1, h, dk, dv), lambda g, i, *_: (g, i, 0, 0, 0)))
+            pl.BlockSpec((1, h, 1, dk, dv), lambda g, i, *_: (g, 0, i, 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # alpha table lives in SMEM
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec((1, 1, h, n, dk), lambda g, i, *_: (g, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, h, n, dk), lambda g, i, *_: (g, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, h, n, dv), lambda g, i, *_: (g, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, h, n, 1), lambda g, i, *_: (g, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, h, n, 1), lambda g, i, *_: (g, i, 0, 0, 0)),
+            blk(dk),                    # q
+            blk(dk),                    # k
+            blk(dv),                    # v
+            blk(1),                     # beta
+            blk(1),                     # eta
             pl.BlockSpec((1, h, dk, dv), lambda g, i, *_: (g, 0, 0, 0)),
         ],
         out_specs=tuple(out_specs),
@@ -392,51 +408,51 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
                          interpret: bool):
-    """Flat reversed-scan backward.  Shapes as the forward flat call, plus
-    states (B,T,H,dk,dv) fp32 checkpoints, do (B,T,H,N,dv), dsT (B,H,dk,dv).
+    """Flat reversed-scan backward in the (B,H,T,...) API layout, plus
+    states (B,H,T,dk,dv) fp32 checkpoints, do (B,H,T,N,dv), dsT (B,H,dk,dv).
 
-    Returns (dq, dk, dv, dbeta2, deta2, dalpha128 (B,T,H,128), ds0) —
+    Returns (dq, dk, dv, dbeta2, deta2, dalpha128 (B,H,T,128), ds0) —
     all fp32.
     """
-    b, t, h, n, dk = q.shape
+    b, h, t, n, dk = q.shape
     dv = v.shape[-1]
     beta2 = beta[..., None]
     eta2 = eta[..., None]
     n_t = t
 
-    rev5 = lambda g, i, *_: (g, n_t - 1 - i, 0, 0, 0)
-    rev4 = lambda g, i, *_: (g, n_t - 1 - i, 0, 0)
+    rev5 = lambda g, i, *_: (g, 0, n_t - 1 - i, 0, 0)
+    rev4 = lambda g, i, *_: (g, 0, n_t - 1 - i, 0)
     fix4 = lambda g, i, *_: (g, 0, 0, 0)
 
     out_shape = (
-        jax.ShapeDtypeStruct((b, t, h, n, dk), _F32),   # dq
-        jax.ShapeDtypeStruct((b, t, h, n, dk), _F32),   # dk
-        jax.ShapeDtypeStruct((b, t, h, n, dv), _F32),   # dv
-        jax.ShapeDtypeStruct((b, t, h, n, 1), _F32),    # dbeta
-        jax.ShapeDtypeStruct((b, t, h, n, 1), _F32),    # deta
-        jax.ShapeDtypeStruct((b, t, h, 128), _F32),     # dalpha (lane bcast)
+        jax.ShapeDtypeStruct((b, h, t, n, dk), _F32),   # dq
+        jax.ShapeDtypeStruct((b, h, t, n, dk), _F32),   # dk
+        jax.ShapeDtypeStruct((b, h, t, n, dv), _F32),   # dv
+        jax.ShapeDtypeStruct((b, h, t, n, 1), _F32),    # dbeta
+        jax.ShapeDtypeStruct((b, h, t, n, 1), _F32),    # deta
+        jax.ShapeDtypeStruct((b, h, t, 128), _F32),     # dalpha (lane bcast)
         jax.ShapeDtypeStruct((b, h, dk, dv), _F32),     # ds0
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec((1, 1, h, n, dk), rev5),       # q
-            pl.BlockSpec((1, 1, h, n, dk), rev5),       # k
-            pl.BlockSpec((1, 1, h, n, dv), rev5),       # v
-            pl.BlockSpec((1, 1, h, n, 1), rev5),        # beta
-            pl.BlockSpec((1, 1, h, n, 1), rev5),        # eta
-            pl.BlockSpec((1, 1, h, dk, dv), rev5),      # states S_{t-1}
-            pl.BlockSpec((1, 1, h, n, dv), rev5),       # do
+            pl.BlockSpec((1, h, 1, n, dk), rev5),       # q
+            pl.BlockSpec((1, h, 1, n, dk), rev5),       # k
+            pl.BlockSpec((1, h, 1, n, dv), rev5),       # v
+            pl.BlockSpec((1, h, 1, n, 1), rev5),        # beta
+            pl.BlockSpec((1, h, 1, n, 1), rev5),        # eta
+            pl.BlockSpec((1, h, 1, dk, dv), rev5),      # states S_{t-1}
+            pl.BlockSpec((1, h, 1, n, dv), rev5),       # do
             pl.BlockSpec((1, h, dk, dv), fix4),         # dsT
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, h, n, dk), rev5),
-            pl.BlockSpec((1, 1, h, n, dk), rev5),
-            pl.BlockSpec((1, 1, h, n, dv), rev5),
-            pl.BlockSpec((1, 1, h, n, 1), rev5),
-            pl.BlockSpec((1, 1, h, n, 1), rev5),
-            pl.BlockSpec((1, 1, h, 128), rev4),
+            pl.BlockSpec((1, h, 1, n, dk), rev5),
+            pl.BlockSpec((1, h, 1, n, dk), rev5),
+            pl.BlockSpec((1, h, 1, n, dv), rev5),
+            pl.BlockSpec((1, h, 1, n, 1), rev5),
+            pl.BlockSpec((1, h, 1, n, 1), rev5),
+            pl.BlockSpec((1, h, 1, 128), rev4),
             pl.BlockSpec((1, h, dk, dv), fix4),
         ),
         scratch_shapes=[pltpu.VMEM((h, dk, dv), _F32),
@@ -467,19 +483,18 @@ def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
 
 
 def _flat_inputs(q, k, v, beta, eta, alpha):
-    """(B,H,T,N,d) → padded (B,T,H,N,d) kernel layout + (B,T,H) alpha.
+    """Token-pad the (B,H,T,N,d) API operands to the kernel's N multiple.
 
-    Token pads carry β=η=0 — exact no-op writes."""
+    NO transposes — the kernel's BlockSpecs consume the API layout
+    directly.  Token pads carry β=η=0 — exact no-op writes."""
     n = q.shape[-2]
     n_pad = max(_round_up(n, 16), 16)
-    tr = lambda x: jnp.swapaxes(x, 1, 2)
-    qf = tr(_pad_tokens(q, n_pad))
-    kf = tr(_pad_tokens(k, n_pad))
-    vf = tr(_pad_tokens(v, n_pad))
-    bf = tr(_pad_tokens(beta[..., None], n_pad)[..., 0])
-    ef = tr(_pad_tokens(eta[..., None], n_pad)[..., 0])
-    af = jnp.transpose(alpha, (0, 2, 1)).astype(_F32)   # (B,T,H)
-    return qf, kf, vf, bf, ef, af
+    qf = _pad_tokens(q, n_pad)
+    kf = _pad_tokens(k, n_pad)
+    vf = _pad_tokens(v, n_pad)
+    bf = _pad_tokens(beta[..., None], n_pad)[..., 0]
+    ef = _pad_tokens(eta[..., None], n_pad)[..., 0]
+    return qf, kf, vf, bf, ef, alpha.astype(_F32)
 
 
 def _interpret() -> bool:
@@ -514,7 +529,7 @@ def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool):
     outs = _gdr_pallas_flat(qf, kf, vf, bf, ef, af, s0, _interpret(),
                             save_states)
     o, s_t = outs[0], outs[1]
-    o = jnp.swapaxes(o, 1, 2)[:, :, :, :n, :]           # (B,H,T,N,dv)
+    o = o[:, :, :, :n, :]                               # (B,H,T,N,dv)
     return o, s_t, (outs[2] if save_states else None)
 
 
@@ -553,18 +568,18 @@ def _bwd(residuals, cotangents):
     n = q.shape[-2]
     n_pad = max(_round_up(n, 16), 16)
     qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
-    dof = jnp.swapaxes(_pad_tokens(do.astype(_F32), n_pad), 1, 2)
+    dof = _pad_tokens(do.astype(_F32), n_pad)
     dqf, dkf, dvf, dbf, def_, daf, ds0 = _gdr_pallas_bwd_flat(
         qf, kf, vf, bf, ef, af, states, dof, dsT.astype(_F32),
         _interpret())
 
-    tr_back = lambda x: jnp.swapaxes(x, 1, 2)[:, :, :, :n]
-    dq = tr_back(dqf).astype(q.dtype)
-    dk = tr_back(dkf).astype(k.dtype)
-    dv = tr_back(dvf)[..., : v.shape[-1]].astype(v.dtype)
-    dbeta = tr_back(dbf)[..., 0].astype(beta.dtype)
-    deta = tr_back(def_)[..., 0].astype(eta.dtype)
-    dalpha = jnp.transpose(daf[..., 0], (0, 2, 1)).astype(alpha.dtype)
+    unpad = lambda x: x[:, :, :, :n]
+    dq = unpad(dqf).astype(q.dtype)
+    dk = unpad(dkf).astype(k.dtype)
+    dv = unpad(dvf)[..., : v.shape[-1]].astype(v.dtype)
+    dbeta = unpad(dbf)[..., 0].astype(beta.dtype)
+    deta = unpad(def_)[..., 0].astype(eta.dtype)
+    dalpha = daf[..., 0].astype(alpha.dtype)            # (B,H,T)
     return dq, dk, dv, dbeta, dalpha, ds0.astype(s0.dtype), deta
 
 

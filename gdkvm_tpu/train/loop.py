@@ -225,7 +225,10 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
 
     if mesh is None:
         mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
-    model = GDKVM(cfg=cfg.model)
+    # Training resolution of gdr_impl='auto' → chunked (XLA keeps the
+    # forward's solves for the backward; see models.gdkvm.train_model_config).
+    from gdkvm_tpu.models.gdkvm import train_model_config
+    model = GDKVM(cfg=train_model_config(cfg.model))
     tx = make_optimizer(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
 

@@ -19,3 +19,68 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+
+# --- quick/slow tiers ------------------------------------------------------
+# ``pytest -m quick`` is the <2 min local iteration loop on the 1-CPU
+# container; the full suite (~28 min there) stays the CI gate.  Tests whose
+# measured call time exceeded ~5 s are listed here by base name (durations
+# from a clean full run, r2); everything else is auto-marked quick.
+
+_SLOW_TESTS = frozenset({
+    # test_gdr.py
+    "test_model_gdn2_variant_trains", "test_chunked_matches_ref",
+    "test_decoupled_erase_gate_laws", "test_gradients_flow",
+    "test_streaming_equals_batched_core", "test_batched_head_wrapper",
+    "test_beta_zero_is_pure_decay", "test_read_is_pre_write",
+    "test_chunked_stable_with_correlated_keys_large_n",
+    # test_gdr_pallas.py
+    "test_pallas_fuzz_shapes", "test_pallas_decoupled_gates",
+    "test_pallas_fused_bwd_all_grads", "test_pallas_matches_ref",
+    "test_pallas_fused_bwd_state_carry_chain", "test_pallas_grad_matches_ref",
+    # test_sweep.py
+    "test_sweep_grid", "test_sweep_bracket_values_not_swept_and_errors_contained",
+    # test_parity.py
+    "test_camus_protocol_with_model", "test_parity_cli_camus",
+    # test_model.py
+    "test_grad_through_model", "test_bf16_compute_path",
+    "test_forward_shapes", "test_memory_affects_later_frames",
+    "test_prompt_changes_output", "test_stem_variants",
+    # test_train.py
+    "test_overfit_single_clip", "test_gradient_accumulation_effective_batch",
+    "test_resume_equals_straight_run", "test_ema_withheld_during_accumulation",
+    "test_ema_tracking_and_eval_params", "test_loss_respects_validity",
+    # test_export.py
+    "test_export_roundtrip_matches_apply", "test_export_streaming_state_carry",
+    "test_export_cli_roundtrip",
+    # test_bench_contract.py
+    "test_bench_prints_one_json_line", "test_latency_bench_mode",
+    "test_train_bench_mode",
+    # test_device_cache.py
+    "test_cache_resume_exact", "test_video_cache_train_smoke",
+    "test_train_loop_with_cache_learns", "test_video_cache_mode_and_sampling",
+    # test_cli_pack.py / test_streaming.py / test_infer.py
+    "test_pack_then_train", "test_stream_video_matches_batched",
+    "test_infer_artifact_uses_exported_image_size",
+    # test_evaluator.py
+    "test_training_determinism", "test_evaluate_with_hd95",
+    "test_prompted_streaming", "test_evaluate_sharded_over_mesh",
+    "test_long_sequence_streaming_stable",
+    # test_sharding.py
+    "test_data_parallel_train_step", "test_data_parallel_matches_single_device",
+})
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: measured >~5 s on 1 CPU")
+    config.addinivalue_line("markers", "quick: the <2 min iteration tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        base = item.name.split("[", 1)[0]
+        if base in _SLOW_TESTS or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)

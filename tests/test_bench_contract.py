@@ -58,7 +58,7 @@ def test_info_command():
     assert rc == 0
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["platform"] == "cpu" and out["jax"]
-    assert out["config"]["model"]["gdr_impl"] == "chunked"
+    assert out["config"]["model"]["gdr_impl"] == "auto"
 
 
 def test_train_bench_mode():

@@ -247,3 +247,13 @@ def test_pallas_decoupled_gates(mode, monkeypatch):
                     argnums=(3,))(q, k, v, beta, alpha, s0)[0]
     np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_cr),
                                rtol=3e-3, atol=3e-4)
+
+
+def test_gdr_impl_auto_resolution():
+    """auto → chunked on CPU (interpret-mode Pallas would be pathological);
+    the TPU side resolves to the kernel (asserted by construction: any
+    non-cpu backend picks pallas)."""
+    from gdkvm_tpu.models.lkva import LKVAMemory
+    assert LKVAMemory(gdr_impl="auto")._impl() == "chunked"
+    assert LKVAMemory(gdr_impl="pallas")._impl() == "pallas"
+    assert LKVAMemory(gdr_impl="chunked")._impl() == "chunked"

@@ -1,0 +1,171 @@
+"""gdkvm serve: batching engine + HTTP round trips (CPU, tiny model).
+
+The load-bearing check is EXACTNESS: masks served through the multi-stream
+active-mask engine must equal direct stream_video() output per session —
+idle-slot freezing, state carry, and chunk splitting must not perturb the
+recurrence.
+"""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from gdkvm_tpu.config.schema import ModelConfig
+from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+from gdkvm_tpu.serve import BatchingEngine, ServeClient, make_server
+
+pytestmark = pytest.mark.slow   # engine+HTTP tests: ~20 s each on 1 CPU
+
+SIZE = 48
+CHUNK = 4
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = ModelConfig(num_classes=2, enc_channels=(8, 16, 24, 32),
+                      num_heads=2, head_dim_k=8, head_dim_v=8,
+                      compute_dtype="float32")
+    model = GDKVM(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), SIZE)
+    return model, params
+
+
+@pytest.fixture()
+def engine(small_model):
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=3,
+                        chunk=CHUNK, image_size=SIZE)
+    yield eng
+    eng.close()
+
+
+def _video(seed, t=10):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (t, SIZE, SIZE, 1), np.uint8)
+
+
+def test_engine_matches_stream_video(small_model, engine):
+    """Engine output ≡ direct chunked streaming, including a ragged tail."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    model, params = small_model
+    video = _video(0, t=10)                     # 10 = 2×4 + ragged 2
+    sid = engine.open_session()["session"]
+    got = engine.infer(sid, video)
+    want = stream_video(model, params, video, chunk=CHUNK)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_concurrent_sessions_exact(small_model, engine):
+    """3 sessions in flight concurrently, each ≡ its own stream_video."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    model, params = small_model
+    videos = [_video(i, t=8 + 2 * i) for i in range(3)]
+    sids = [engine.open_session()["session"] for _ in range(3)]
+    results = {}
+
+    def run(i):
+        results[i] = engine.infer(sids[i], videos[i])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(3):
+        want = stream_video(model, params, videos[i], chunk=CHUNK)
+        np.testing.assert_array_equal(results[i], want)
+
+
+def test_engine_state_carry_across_infer_calls(small_model, engine):
+    """Two infer() calls on one session ≡ one call over the whole video
+    (the server-side GDR state carries between requests)."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    model, params = small_model
+    video = _video(42, t=8)
+    sid = engine.open_session()["session"]
+    part1 = engine.infer(sid, video[:4])
+    part2 = engine.infer(sid, video[4:])
+    want = stream_video(model, params, video, chunk=CHUNK)
+    np.testing.assert_array_equal(np.concatenate([part1, part2]), want)
+
+
+def test_engine_session_reset_on_reopen(small_model, engine):
+    """A new session on a recycled slot starts from a zero state."""
+    video = _video(7, t=4)
+    s1 = engine.open_session()
+    first = engine.infer(s1["session"], video)
+    engine.infer(s1["session"], _video(8, t=4))   # advance the state
+    assert engine.close_session(s1["session"])
+    s2 = engine.open_session()
+    again = engine.infer(s2["session"], video)
+    np.testing.assert_array_equal(first, again)
+
+
+def test_http_round_trip(small_model, engine):
+    srv = make_server(engine, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = srv.server_address
+        c = ServeClient(host, port)
+        info = c.health()
+        assert info["ok"] and info["chunk"] == CHUNK
+        c.open()
+        video = _video(3, t=6)
+        masks = c.infer(video)
+        assert masks.shape == (6, SIZE, SIZE)
+        assert masks.dtype == np.uint8
+        c.close()
+        # Closed session rejects further inference.
+        with pytest.raises(RuntimeError):
+            sid_gone = ServeClient(host, port)
+            sid_gone.session = "deadbeef0000"
+            sid_gone.infer(video)
+    finally:
+        srv.shutdown()
+
+
+def test_http_slot_exhaustion(small_model, engine):
+    srv = make_server(engine, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = srv.server_address
+        clients = []
+        for _ in range(engine.streams):
+            c = ServeClient(host, port)
+            c.open()
+            clients.append(c)
+        extra = ServeClient(host, port)
+        with pytest.raises(RuntimeError, match="busy"):
+            extra.open()
+        clients[0].close()
+        extra.open()           # freed slot is reusable
+        extra.close()
+        for c in clients[1:]:
+            c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_engine_artifact_path(small_model, tmp_path):
+    """Engine over an exported StableHLO artifact ≡ live-model engine."""
+    from gdkvm_tpu.io.export import save_artifact
+    model, params = small_model
+    art = str(tmp_path / "art")
+    save_artifact(art, model, params, image_size=SIZE, chunk=CHUNK,
+                  batch=2)
+    eng = BatchingEngine(artifact=art, streams=2, chunk=CHUNK)
+    try:
+        video = _video(5, t=8)
+        sid = eng.open_session()["session"]
+        got = eng.infer(sid, video)
+        from gdkvm_tpu.eval.streaming import stream_video
+        want = stream_video(model, params, video, chunk=CHUNK)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        eng.close()
+    with pytest.raises(ValueError, match="re-export"):
+        BatchingEngine(artifact=art, streams=4, chunk=CHUNK)
