@@ -380,6 +380,10 @@ def cmd_infer(argv) -> int:
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--overlay-every", type=int, default=0,
                    help="write an overlay PNG every N frames (0 = none)")
+    p.add_argument("--device-resize", action="store_true",
+                   help="decode at native resolution and resize on device "
+                        "inside the jitted step (fused matmul preproc) — "
+                        "host work becomes decode-only")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -395,7 +399,8 @@ def cmd_infer(argv) -> int:
         from gdkvm_tpu.models.gdkvm import GDKVM, init_params
         from gdkvm_tpu.train.loop import abstract_train_state, \
             eval_params, make_optimizer
-        frames = load_frames(args.input, cfg.data.image_size)
+        frames = load_frames(args.input, cfg.data.image_size,
+                             host_resize=not args.device_resize)
         model = GDKVM(cfg=cfg.model)
         ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
                                                    "checkpoints")
@@ -409,7 +414,9 @@ def cmd_infer(argv) -> int:
                                  cfg.data.image_size)
         summary = run_inference(frames, args.out, model=model,
                                 params=params, chunk=args.chunk,
-                                overlay_every=args.overlay_every)
+                                overlay_every=args.overlay_every,
+                                model_size=(cfg.data.image_size
+                                            if args.device_resize else None))
     print(json.dumps(summary))
     return 0
 

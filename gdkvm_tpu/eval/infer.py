@@ -24,8 +24,15 @@ from typing import Optional
 import numpy as np
 
 
-def load_frames(path: str, image_size: int) -> np.ndarray:
-    """Decode any supported cine source → (F, H, W, 1) uint8."""
+def load_frames(path: str, image_size: int,
+                host_resize: bool = True) -> np.ndarray:
+    """Decode any supported cine source → (F, H, W, 1) uint8.
+
+    ``host_resize=False`` keeps the NATIVE decode resolution (host work =
+    decode only); the model step then resizes on device via the fused
+    matmul preproc (ops/preproc.py) — the serving configuration for
+    arbitrary-resolution input (SURVEY §2.3 fused resize/normalize).
+    """
     if os.path.isdir(path):
         from PIL import Image
         names = sorted(n for n in os.listdir(path)
@@ -35,7 +42,7 @@ def load_frames(path: str, image_size: int) -> np.ndarray:
         frames = []
         for n in names:
             img = Image.open(os.path.join(path, n)).convert("L")
-            if img.size != (image_size, image_size):
+            if host_resize and img.size != (image_size, image_size):
                 img = img.resize((image_size, image_size))
             frames.append(np.asarray(img, np.uint8))
         return np.stack(frames)[..., None]
@@ -49,7 +56,7 @@ def load_frames(path: str, image_size: int) -> np.ndarray:
                 break
             if frame.ndim == 3:
                 frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-            if frame.shape[:2] != (image_size, image_size):
+            if host_resize and frame.shape[:2] != (image_size, image_size):
                 frame = cv2.resize(frame, (image_size, image_size),
                                    interpolation=cv2.INTER_AREA)
             frames.append(frame)
@@ -60,23 +67,32 @@ def load_frames(path: str, image_size: int) -> np.ndarray:
     if path.lower().endswith(".mhd"):
         from gdkvm_tpu.data.camus_raw import _resize_stack, read_mhd
         vol, _ = read_mhd(path)                       # (F, H, W)
-        vol = _resize_stack(vol, image_size, is_mask=False)
+        if host_resize:
+            vol = _resize_stack(vol, image_size, is_mask=False)
         return vol.astype(np.uint8)[..., None]
     raise ValueError(f"unsupported input {path!r} (want .avi/.mp4, .mhd, "
                      f"or a directory of PNG frames)")
 
 
-def infer_video_model(model, params, frames: np.ndarray, chunk: int = 16
-                      ) -> np.ndarray:
+def infer_video_model(model, params, frames: np.ndarray, chunk: int = 16,
+                      model_size: Optional[int] = None) -> np.ndarray:
     """Chunked streaming inference with the in-process model.
 
-    frames: (F, H, W, 1) uint8 → masks (F, H, W) uint8 (argmax on device,
-    one jitted call per chunk, state carried).
+    frames: (F, H, W, 1) uint8 → masks uint8 (argmax on device, one jitted
+    call per chunk, state carried).  When the frames are NOT at
+    ``model_size`` (native-resolution decode), resize+normalize runs
+    INSIDE the jit, fused with the forward (ops/preproc.py) — the host
+    ships raw decode bytes only.  Masks come back at the model resolution.
     """
     import jax
-    from gdkvm_tpu.eval.streaming import _jitted_mask_step
+    from gdkvm_tpu.eval.streaming import _jitted_mask_step, \
+        _jitted_mask_step_native
 
-    step = _jitted_mask_step(model)
+    src_hw = frames.shape[1:3]
+    if model_size is not None and src_hw != (model_size, model_size):
+        step = _jitted_mask_step_native(model, model_size)
+    else:
+        step = _jitted_mask_step(model)
     f = frames.shape[0]
     masks = []
     state = None            # model.apply zero-initializes inside the jit
@@ -132,14 +148,19 @@ def artifact_image_size(art_dir: str) -> int:
 
 def run_inference(frames: np.ndarray, out_dir: str, *, model=None,
                   params=None, artifact: Optional[str] = None,
-                  chunk: int = 16, overlay_every: int = 0) -> dict:
-    """Infer masks and write masks.npz (+ overlay PNGs); returns summary."""
+                  chunk: int = 16, overlay_every: int = 0,
+                  model_size: Optional[int] = None) -> dict:
+    """Infer masks and write masks.npz (+ overlay PNGs); returns summary.
+
+    ``model_size``: set when frames are native-resolution — the resize
+    happens on device inside the jitted step (infer_video_model)."""
     from gdkvm_tpu.eval.vis import overlay as make_overlay
 
     if artifact is not None:
         masks = infer_video_artifact(artifact, frames)
     else:
-        masks = infer_video_model(model, params, frames, chunk=chunk)
+        masks = infer_video_model(model, params, frames, chunk=chunk,
+                                  model_size=model_size)
     os.makedirs(out_dir, exist_ok=True)
     np.savez_compressed(os.path.join(out_dir, "masks.npz"), masks=masks)
     n_overlays = 0
@@ -147,8 +168,13 @@ def run_inference(frames: np.ndarray, out_dir: str, *, model=None,
         from PIL import Image
         ov_dir = os.path.join(out_dir, "overlays")
         os.makedirs(ov_dir, exist_ok=True)
+        mh, mw = masks.shape[1:3]
         for t in range(0, frames.shape[0], overlay_every):
-            img = make_overlay(frames[t], masks[t])
+            fr = frames[t]
+            if fr.shape[:2] != (mh, mw):      # native-res input: match mask
+                fr = np.asarray(Image.fromarray(fr[..., 0]).resize(
+                    (mw, mh)), np.uint8)[..., None]
+            img = make_overlay(fr, masks[t])
             Image.fromarray(img).save(
                 os.path.join(ov_dir, f"frame_{t:05d}.png"))
             n_overlays += 1

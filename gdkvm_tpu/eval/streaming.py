@@ -62,6 +62,25 @@ def _jitted_mask_step(model: GDKVM):
     return fn
 
 
+def _jitted_mask_step_native(model: GDKVM, out_size: int):
+    """Jitted chunk step for NATIVE-resolution input: device-side fused
+    resize+normalize (ops/preproc.py matmul resize — MXU) → forward →
+    argmax, all in one jit.  The host ships raw decode bytes only; masks
+    come back at the model resolution (SURVEY §2.3 fused preproc)."""
+    key = (repr(model.cfg), "mask_step_native", out_size)
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        from gdkvm_tpu.ops.preproc import resize_normalize
+
+        def step(params, frames_u8, state):
+            x = resize_normalize(frames_u8[None], (out_size, out_size))
+            logits, state = model.apply(params, x, state)
+            return jnp.argmax(logits[0], axis=-1).astype(jnp.uint8), state
+        fn = jax.jit(step, donate_argnums=(2,))
+        _APPLY_CACHE[key] = fn
+    return fn
+
+
 def _jitted_prompt_step(model: GDKVM):
     """Jitted first-chunk step with a frame-0 mask prompt."""
     key = (repr(model.cfg), "prompt_step")
