@@ -1,0 +1,111 @@
+"""Multi-host smoke: 2-process CPU jax.distributed over localhost.
+
+Turns "multi-host ready" from a claim into a fact (SURVEY §2.4 comm
+backend): two OS processes rendezvous through jax.distributed's
+coordination service (the TPU-pod mechanism, CPU backend), build one
+global mesh spanning both processes' virtual devices, and run a sharded
+train step whose gradient reduction crosses the process boundary.  Each
+process sees only its local shard of the batch; the loss must come back
+finite and IDENTICAL on both ranks (GSPMD all-reduce).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_WORKER = textwrap.dedent("""
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # before backend init
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    import json
+    import numpy as np
+    from gdkvm_tpu.parallel.distributed import maybe_initialize_distributed, \\
+        process_info
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.data.pipeline import Batch
+    from gdkvm_tpu.models.gdkvm import GDKVM
+    from gdkvm_tpu.parallel import batch_sharding, make_mesh, \\
+        param_shardings, replicated
+    from gdkvm_tpu.train.loop import TrainState, create_train_state, \\
+        make_optimizer, make_train_step
+
+    assert maybe_initialize_distributed(), "env vars set; must initialize"
+    info = process_info()
+    assert info["process_count"] == 2, info
+    assert info["global_devices"] == 4, info
+
+    cfg = load_config(None, overrides=[
+        "data.image_size=16", "data.clip_len=2", "train.batch_size=4",
+        "model.enc_channels=[4,8,12,16]", "model.enc_blocks=[1,1,1,1]",
+        "model.num_heads=2", "model.head_dim_k=8", "model.head_dim_v=8",
+        "model.kpff_channels=[12,8,4]", "model.compute_dtype=float32",
+    ])
+    mesh = make_mesh(data=4, model=1)           # spans both processes
+    model = GDKVM(cfg=cfg.model)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+    state = TrainState(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.device_put(state.params, param_shardings(mesh,
+                                                            state.params)),
+        opt_state=jax.device_put(state.opt_state, jax.tree.map(
+            lambda _: replicated(mesh), state.opt_state)),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
+    # Every process materializes the same global batch; device_put with the
+    # mesh sharding keeps only the local shard per process (SPMD input).
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        frames=rng.integers(0, 255, (4, 2, 16, 16, 1), np.uint8),
+        masks=rng.integers(0, 2, (4, 2, 16, 16)).astype(np.uint8),
+        valid=np.ones((4, 2), np.float32),
+    )
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    with mesh:
+        state, metrics = step(state, batch)
+    loss = float(jax.device_get(metrics["loss"]))
+    print(json.dumps({"process": info["process_index"], "loss": loss,
+                      **info}), flush=True)
+""")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base.pop("XLA_FLAGS", None)             # workers pick their own
+    env_base["GDKVM_PLATFORM"] = "cpu"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env.update(GDKVM_COORDINATOR=f"127.0.0.1:{port}",
+                   GDKVM_NUM_PROCESSES="2", GDKVM_PROCESS_ID=str(rank))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert {o["process"] for o in outs} == {0, 1}
+    losses = [o["loss"] for o in outs]
+    assert all(l == losses[0] for l in losses), losses
+    assert all(o["global_devices"] == 4 and o["local_devices"] == 2
+               for o in outs)
