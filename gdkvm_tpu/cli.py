@@ -81,7 +81,8 @@ def cmd_bench(argv) -> int:
     flags, overrides = _split_args(argv)
     p = argparse.ArgumentParser(prog="gdkvm bench")
     p.add_argument("--config", default=None)
-    p.add_argument("--mode", choices=("stream", "train", "latency"),
+    p.add_argument("--mode", choices=("stream", "train", "latency",
+                                      "modules"),
                    default="stream")
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
@@ -90,7 +91,13 @@ def cmd_bench(argv) -> int:
     cfg = load_config(args.config, overrides)
 
     model = GDKVM(cfg=cfg.model)
-    if args.mode == "latency":
+    if args.mode == "modules":
+        from gdkvm_tpu.eval.modulebench import module_breakdown
+        params = init_params(model, jax.random.PRNGKey(0), args.image_size)
+        result = module_breakdown(model, params,
+                                  image_size=args.image_size,
+                                  chunk=args.chunk, batch=args.batch)
+    elif args.mode == "latency":
         from gdkvm_tpu.eval.throughput import measure_streaming_latency
         params = init_params(model, jax.random.PRNGKey(0), args.image_size)
         result = measure_streaming_latency(

@@ -1,0 +1,144 @@
+"""Per-module FLOP/time breakdown of the GDKVM forward (MFU accounting).
+
+Answers "where do the FLOPs and the milliseconds go" per module — encoder,
+LKVA/GDR memory, decoder, loss — so MFU work attacks the right line item
+(VERDICT r1: 18% MFU at saturation with no per-module table).
+
+Methodology (tunnel-proof):
+  - FLOPs from XLA's own cost analysis of each module's jitted subgraph.
+  - Time from REPS iterations of the module inside ONE jitted lax.scan,
+    execution-forced by fetching a checksum that chains every iteration
+    (block_until_ready returns at dispatch-ack on remote platforms).
+    The input of iteration i+1 depends on iteration i's output (a ~1e-12
+    scalar perturbation), so XLA cannot hoist the module out of the loop.
+  - Per-call dispatch cost is amortized across REPS, so module times are
+    separable even through the dev tunnel (r1 found single-call component
+    timings were NOT separable — dispatch floor dominated).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdkvm_tpu.models.gdkvm import GDKVM
+
+
+def _flops_of(fn, *args) -> float:
+    try:
+        comp = jax.jit(fn).lower(*args).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca.get("flops", float("nan"))) if ca else float("nan")
+    except Exception:
+        return float("nan")
+
+
+def _timed(fn, args, reps: int) -> float:
+    """ms/call via a chained scan (see module docstring)."""
+
+    def body(c, _):
+        out = fn(*jax.tree.map(
+            lambda a: (a + c.astype(a.dtype)
+                       if jnp.issubdtype(a.dtype, jnp.floating) else a),
+            args))
+        leaves = [x.astype(jnp.float32).sum()
+                  for x in jax.tree.leaves(out)]
+        return (jnp.asarray(sum(leaves)) * 1e-12), sum(leaves)
+
+    @jax.jit
+    def run():
+        c, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return c + jnp.sum(sums)
+
+    np.asarray(run())                     # compile + first run
+    t0 = time.perf_counter()
+    np.asarray(run())                     # exec-forced
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def module_breakdown(model: GDKVM, params, *, image_size: int = 112,
+                     chunk: int = 16, batch: int = 1, reps: int = 20,
+                     include_loss: bool = True, seed: int = 0
+                     ) -> Dict[str, Dict[str, float]]:
+    """FLOPs + exec-forced ms per module at a given (batch, chunk, size)."""
+    c = model.cfg
+    rng = np.random.default_rng(seed)
+    frames_u8 = jnp.asarray(rng.integers(
+        0, 255, (batch, chunk, image_size, image_size, c.in_channels),
+        np.uint8))
+    frames = frames_u8.astype(jnp.float32) / 255.0
+
+    def encode(frames):
+        return model.apply(params, frames, method=GDKVM._encode)
+
+    f4, f8, f16 = jax.jit(encode)(frames)
+    h16, w16 = f16.shape[1], f16.shape[2]
+    f16_seq = f16.reshape(batch, chunk, h16, w16, f16.shape[-1])
+    state0 = jnp.zeros((batch, c.num_heads, c.head_dim_k, c.head_dim_v),
+                       jnp.float32)
+
+    def lkva(f16_seq, state):
+        return model.apply(params, f16_seq, state,
+                           method=lambda m, f, s: m.lkva(f, s))
+
+    readout, _ = jax.jit(lkva)(f16_seq, state0)
+    ro = readout.reshape(batch * chunk, h16, w16, readout.shape[-1])
+
+    def decode(f4, f8, f16, ro):
+        return model.apply(
+            params, f4, f8, f16, ro, (image_size, image_size),
+            method=lambda m, a, b_, c_, d, hw: m.decoder(a, b_, c_, d, hw))
+
+    logits = jax.jit(decode)(f4, f8, f16, ro)
+
+    def full(frames):
+        lg, st = model.apply(params, frames)
+        return lg, st.mem
+
+    mods = {
+        "encoder": (encode, (frames,)),
+        "lkva_gdr": (lkva, (f16_seq, state0)),
+        "decoder": (decode, (f4, f8, f16, ro)),
+        "full_model": (full, (frames,)),
+    }
+    if include_loss:
+        from gdkvm_tpu.train import losses
+        lg5 = logits.reshape(batch, chunk, image_size, image_size, -1)
+        masks = jnp.asarray(rng.integers(
+            0, c.num_classes, (batch, chunk, image_size, image_size),
+            np.int32))
+        valid = jnp.ones((batch, chunk), jnp.float32)
+
+        def loss_fn(lg5, masks, valid):
+            return losses.segmentation_loss(lg5, masks, valid)[0]
+
+        mods["loss"] = (loss_fn, (lg5, masks, valid))
+
+    out: Dict[str, Dict[str, float]] = {}
+    for name, (fn, args) in mods.items():
+        flops = _flops_of(fn, *args)
+        ms = _timed(fn, args, reps)
+        out[name] = {
+            "flops_per_call": flops,
+            "ms_per_call": round(ms, 4),
+            "tflops_per_sec": round(flops / (ms * 1e-3) / 1e12, 2)
+            if np.isfinite(flops) else float("nan"),
+        }
+    full_ms = out["full_model"]["ms_per_call"]
+    for name, row in out.items():
+        row["pct_of_full_time"] = round(100 * row["ms_per_call"]
+                                        / max(full_ms, 1e-9), 1)
+    parts = [n for n in ("encoder", "lkva_gdr", "decoder") if n in out]
+    out["_meta"] = {
+        "image_size": image_size, "chunk": chunk, "batch": batch,
+        "reps": reps,
+        "sum_parts_ms": round(sum(out[n]["ms_per_call"] for n in parts), 4),
+        "fusion_gain_ms": round(
+            sum(out[n]["ms_per_call"] for n in parts) - full_ms, 4),
+    }
+    return out

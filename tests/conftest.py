@@ -55,7 +55,10 @@ _SLOW_TESTS = frozenset({
     "test_export_cli_roundtrip",
     # test_bench_contract.py
     "test_bench_prints_one_json_line", "test_latency_bench_mode",
-    "test_train_bench_mode",
+    "test_train_bench_mode", "test_modules_bench_mode",
+    # test_multihost.py / test_preproc.py
+    "test_two_process_distributed_train_step",
+    "test_infer_native_resolution_device_resize",
     # test_device_cache.py
     "test_cache_resume_exact", "test_video_cache_train_smoke",
     "test_train_loop_with_cache_learns", "test_video_cache_mode_and_sampling",

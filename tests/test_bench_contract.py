@@ -79,3 +79,25 @@ def test_train_bench_mode():
     assert out["steps_per_sec"] > 0
     assert out["train_frames_per_sec"] == out["steps_per_sec"] * 1 * 2
     assert out["image_size"] == 32
+
+
+def test_modules_bench_mode():
+    """gdkvm bench --mode modules: per-module FLOPs/time accounting sums
+    to ~the full model and reports the meta block."""
+    import json, io, contextlib
+    from gdkvm_tpu.cli import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["bench", "--mode", "modules", "--image-size", "32",
+                   "--chunk", "2",
+                   "model.enc_channels=[8,16,24,32]", "model.num_heads=2",
+                   "model.head_dim_k=8", "model.head_dim_v=8",
+                   "model.compute_dtype=float32"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    for mod in ("encoder", "lkva_gdr", "decoder", "full_model", "loss"):
+        assert out[mod]["ms_per_call"] > 0
+    assert out["full_model"]["flops_per_call"] > \
+        out["encoder"]["flops_per_call"]
+    # Parts must account for the bulk of the full model's work.
+    assert out["_meta"]["sum_parts_ms"] > 0.5 * out["full_model"]["ms_per_call"]
