@@ -204,24 +204,46 @@ def prefetch_to_device(iterator: Iterator[Batch], size: int = 2,
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     stop = object()
+    # Cooperative shutdown: when the consumer abandons the generator
+    # (break / GC / test teardown), the producer must stop touching the
+    # device — a device_put racing backend teardown raises in the daemon
+    # thread (shows up as PytestUnhandledThreadExceptionWarning).
+    cancel = threading.Event()
 
-    def put(batch: Batch):
-        if sharding is not None:
-            dev = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-        else:
-            dev = jax.tree.map(jax.device_put, batch)
-        q.put(dev)
+    def q_put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                put(batch)
-        finally:
-            q.put(stop)
+                if cancel.is_set():
+                    return
+                if sharding is not None:
+                    dev = jax.tree.map(
+                        lambda x: jax.device_put(x, sharding), batch)
+                else:
+                    dev = jax.tree.map(jax.device_put, batch)
+                if not q_put(dev):
+                    return
+        except BaseException as exc:   # surface data-thread death, don't
+            q_put(exc)                 # hang the consumer on q.get()
+            return
+        q_put(stop)
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancel.set()

@@ -71,11 +71,14 @@ def evaluate(cfg: Config, model: GDKVM, params, mesh,
     hd_jobs = []           # (pred_all_dev, masks_host, valid_host)
     vis_budget = cfg.eval_stage.num_vis
     vis_dir = os.path.join(cfg.runtime.run_dir, "vis")
+    # Ragged tails must be dropped BEFORE the device prefetch: a batch not
+    # divisible by the data axis cannot even be device_put with the mesh
+    # sharding (it used to kill the producer thread silently — eval then
+    # returned {} with no signal).
+    it = (b for b in it if b.frames.shape[0] % data_par == 0)
     with mesh:
         it = prefetch_to_device(it, size=2, sharding=batch_sharding(mesh))
         for batch in it:
-            if batch.frames.shape[0] % data_par:
-                continue  # ragged tail smaller than the mesh; skip
             part, pred_mid, pred_all = fwd_part(
                 params, batch.frames, batch.masks, batch.valid)
             parts.append(part)          # async — fetched once at the end

@@ -132,3 +132,34 @@ def test_synthetic_difficulty_knob():
     assert (mh1 != m0a).mean() > 0.01
     # All classes still present inside the cone.
     assert set(np.unique(mh1)) == {0, 1, 2, 3}
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Breaking out of a prefetch loop cancels the producer thread (no
+    unhandled device_put at teardown) and surfaces producer exceptions."""
+    import threading
+    import time
+    ds = SyntheticDataset(num_clips=8, clip_len=2, image_size=16)
+    it = pipeline.batch_iterator(ds, batch_size=2, loop=True, num_workers=1)
+    n_before = threading.active_count()
+    gen = pipeline.prefetch_to_device(it, size=1)
+    next(gen)
+    gen.close()                               # abandon mid-stream
+    deadline = time.time() + 5
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+
+    def boom():
+        yield from ()
+        raise RuntimeError("decode exploded")
+
+    def gen_boom():
+        b = next(pipeline.batch_iterator(ds, batch_size=2, loop=False,
+                                         num_workers=1))
+        yield b
+        raise RuntimeError("decode exploded")
+
+    g = pipeline.prefetch_to_device(gen_boom(), size=2)
+    next(g)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(g)
