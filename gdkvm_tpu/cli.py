@@ -669,7 +669,8 @@ def cmd_parity(argv) -> int:
     p = argparse.ArgumentParser(prog="gdkvm parity")
     p.add_argument("--config", default=None)
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--protocol", choices=("camus", "echonet-ef", "auto"),
+    p.add_argument("--protocol",
+                   choices=("camus", "camus-ef", "echonet-ef", "auto"),
                    default="auto", help="auto = by data.dataset")
     p.add_argument("--split", default=None,
                    help="default: data.val_split (camus) / VAL (echonet)")
@@ -702,16 +703,17 @@ def cmd_parity(argv) -> int:
         out = parity.camus_official(
             cfg, model, params, split=args.split or cfg.data.val_split,
             with_hd95=not args.no_hd95, max_patients=args.max_patients)
+    elif protocol == "camus-ef":
+        out = parity.camus_ef(
+            cfg, model, params, split=args.split or cfg.data.val_split,
+            max_patients=args.max_patients)
     else:
         out = parity.echonet_ef(cfg, model, params,
                                 split=args.split or "VAL",
                                 num_videos=args.num_videos)
     table = out.pop("table", None)
-    per_video = out.pop("per_video", None)
     if table:
         print(table, file=sys.stderr)
-    if per_video is not None:
-        out["per_video"] = per_video
     print(json.dumps(out))
     return 0
 

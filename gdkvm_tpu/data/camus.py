@@ -95,9 +95,13 @@ def materialize_synthetic_camus(root: str, num_train: int = 16,
     idx = 0
     for split, count in counters.items():
         for i in range(count):
+            # Consecutive clips pair into one patient with BOTH views —
+            # the real CAMUS structure (each patient has 2CH and 4CH),
+            # which the biplane-EF protocol (eval/parity.py camus_ef)
+            # depends on.  `count` stays the CLIP count.
             view = "2CH" if i % 2 == 0 else "4CH"
             clip_dir = os.path.join(root, split,
-                                    f"patient{i + 1:04d}_{view}")
+                                    f"patient{i // 2 + 1:04d}_{view}")
             os.makedirs(clip_dir, exist_ok=True)
             frames, masks = synthetic.generate_clip(
                 seed * 7919 + idx, clip_len, image_size, image_size,

@@ -198,8 +198,7 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
     # Area–length EF from the GT masks (same rule the parity protocol
     # applies to predictions — eval/parity.py), so a perfect model scores
     # ~0 EF MAE on this stand-in, exactly like real EchoNet's EF column.
-    from gdkvm_tpu.eval.parity import detect_ed_es, ef_from_volumes, \
-        lv_volume_area_length
+    from gdkvm_tpu.eval.parity import beatwise_ef, lv_volume_area_length
     os.makedirs(os.path.join(root, "Videos"), exist_ok=True)
     rows = [("FileName", "EF", "Split")]
     trows = [("FileName", "X1", "Y1", "X2", "Y2", "Frame")]
@@ -217,8 +216,7 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
         vw.release()
         vols = np.array([lv_volume_area_length(masks[t] == 1)
                          for t in range(num_frames)])
-        i_ed, i_es = detect_ed_es(vols)
-        ef = ef_from_volumes(vols[i_ed], vols[i_es])
+        ef, _ = beatwise_ef(vols)
         rows.append((name, f"{ef:.4f}", split))
         # Trace ED (frame 0) and ES (mid) as parallel chords of the mask.
         for fr in (0, num_frames // 2):

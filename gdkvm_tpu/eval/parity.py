@@ -80,13 +80,58 @@ def detect_ed_es(volumes: np.ndarray, smooth: int = 3
     simple robust rule; with multiple beats the global extremes still land
     on a genuine ED/ES pair of some beat, which is what EF needs.
     """
-    v = np.asarray(volumes, np.float64)
+    v = _smooth_trace(volumes, smooth)
     if v.size == 0:
         return 0, 0
-    if smooth > 1 and v.size > smooth:
-        kernel = np.ones(smooth) / smooth
-        v = np.convolve(v, kernel, mode="same")
     return int(np.argmax(v)), int(np.argmin(v))
+
+
+def _smooth_trace(volumes: np.ndarray, smooth: int) -> np.ndarray:
+    v = np.asarray(volumes, np.float64)
+    if smooth > 1 and v.size > smooth:
+        v = np.convolve(v, np.ones(smooth) / smooth, mode="same")
+    return v
+
+
+def beatwise_ef(volumes: np.ndarray, smooth: int = 3,
+                min_beat_frames: int = 8) -> Tuple[float, int]:
+    """Beat-aware EF: segment the volume trace into beats at the ES minima
+    (the EchoNet-protocol shape: EF is estimated per beat and averaged —
+    robust to arrhythmia and to a lucky/unlucky global extreme).
+
+    Beats = intervals between successive local minima separated by at
+    least ``min_beat_frames``; per beat, EF from the max/min volume inside
+    it.  Falls back to the global-extreme EF when the trace is too short
+    to segment.  Returns (ef_percent, n_beats_used).
+    """
+    v = _smooth_trace(volumes, smooth)
+    if v.size < 2 * min_beat_frames:
+        i_ed, i_es = detect_ed_es(volumes, smooth)
+        return ef_from_volumes(volumes[i_ed], volumes[i_es]), 1
+    # Local minima with a minimum separation (greedy by depth).
+    cand = [i for i in range(1, v.size - 1)
+            if v[i] <= v[i - 1] and v[i] <= v[i + 1]]
+    cand.sort(key=lambda i: v[i])
+    minima: list = []
+    for i in cand:
+        if all(abs(i - j) >= min_beat_frames for j in minima):
+            minima.append(i)
+    minima.sort()
+    if len(minima) < 2:
+        i_ed, i_es = detect_ed_es(volumes, smooth)
+        return ef_from_volumes(volumes[i_ed], volumes[i_es]), 1
+    efs = []
+    for lo, hi in zip(minima[:-1], minima[1:]):
+        seg = v[lo:hi + 1]
+        if seg.size < 3:
+            continue
+        v_ed, v_es = float(seg.max()), float(seg.min())
+        if v_ed > 0:
+            efs.append(ef_from_volumes(v_ed, v_es))
+    if not efs:
+        i_ed, i_es = detect_ed_es(volumes, smooth)
+        return ef_from_volumes(volumes[i_ed], volumes[i_es]), 1
+    return float(np.mean(efs)), len(efs)
 
 
 def ef_from_volumes(v_ed: float, v_es: float) -> float:
@@ -278,6 +323,105 @@ def format_camus_table(result: Dict) -> str:
     return "\n".join(lines)
 
 
+def biplane_volume(area_2ch: float, area_4ch: float,
+                   length_2ch: float, length_4ch: float) -> float:
+    """Biplane area–length (modified Simpson) LV volume:
+    V = (8/3π) · A_2CH · A_4CH / L, with L the shorter long axis of the
+    two views — the standard CAMUS/clinical biplane estimate."""
+    length = min(length_2ch, length_4ch)
+    if length <= 0:
+        return 0.0
+    return 8.0 * area_2ch * area_4ch / (3.0 * np.pi * length)
+
+
+def camus_ef(cfg, model, params, split: str = "val",
+             batch_size: int = 8,
+             max_patients: Optional[int] = None,
+             predict_fn=None) -> Dict:
+    """CAMUS EF protocol: biplane Simpson from paired 2CH+4CH predictions.
+
+    Per patient: LV-endo areas and long axes at the ED/ES frames of BOTH
+    views → biplane volumes → EF.  The reference EF is computed from the
+    ground-truth masks by the identical rule (on real CAMUS the clinical
+    EF label lives in Info_*CH.cfg, outside the processed-artifact layout;
+    GT-mask-derived EF is the self-consistent stand-in and the mask-error
+    isolator either way).  Reports MAE/RMSE/bias/r against it.
+    """
+    import jax
+    from gdkvm_tpu.data.camus import CamusDataset
+
+    k = cfg.model.num_classes
+    ds = CamusDataset(cfg.data.data_path, split,
+                      image_size=cfg.data.image_size,
+                      clip_len=cfg.data.clip_len, num_classes=k)
+    if predict_fn is None:
+        _jit_predict = _predict_masks_fn(model)
+        predict_fn = lambda frames: np.asarray(jax.device_get(
+            _jit_predict(params, jax.device_put(frames))))
+
+    # patient → view → (pred masks, gt masks, valid)
+    per_patient: Dict[str, Dict[str, tuple]] = defaultdict(dict)
+    idxs = list(range(len(ds)))
+    for lo in range(0, len(idxs), batch_size):
+        chunk_ids = idxs[lo:lo + batch_size]
+        items = [ds[i] for i in chunk_ids]
+        pad = batch_size - len(items)
+        frames = np.stack([it[0] for it in items] + [items[-1][0]] * pad)
+        preds = predict_fn(frames)
+        for j, i in enumerate(chunk_ids):
+            m = _CLIP_RE.match(ds.clips[i])
+            if not m:
+                continue
+            per_patient[m.group(1)][m.group(2).upper()] = (
+                preds[j], items[j][1], items[j][2])
+
+    def _ef_from(masks_by_view, use_pred: bool) -> Optional[float]:
+        stats = {}
+        for view in ("2CH", "4CH"):
+            if view not in masks_by_view:
+                return None
+            pred, gt, valid = masks_by_view[view]
+            ann = np.nonzero(valid > 0)[0]
+            if ann.size == 0:
+                return None
+            maps = pred if use_pred else gt
+            per_phase = {}
+            for phase, t in (("ED", int(ann[0])), ("ES", int(ann[-1]))):
+                lv = maps[t] == 1
+                per_phase[phase] = (float(lv.sum()), lv_long_axis_px(lv))
+            stats[view] = per_phase
+        v_ed = biplane_volume(stats["2CH"]["ED"][0], stats["4CH"]["ED"][0],
+                              stats["2CH"]["ED"][1], stats["4CH"]["ED"][1])
+        v_es = biplane_volume(stats["2CH"]["ES"][0], stats["4CH"]["ES"][0],
+                              stats["2CH"]["ES"][1], stats["4CH"]["ES"][1])
+        return ef_from_volumes(v_ed, v_es)
+
+    per_pat = []
+    for pid in sorted(per_patient):
+        if max_patients is not None and len(per_pat) >= max_patients:
+            break
+        ef_p = _ef_from(per_patient[pid], use_pred=True)
+        ef_r = _ef_from(per_patient[pid], use_pred=False)
+        if ef_p is None or ef_r is None:
+            continue
+        per_pat.append({"patient": pid, "ef_pred": ef_p, "ef_ref": ef_r})
+
+    out: Dict = {"protocol": "camus_ef_biplane_simpson", "split": split,
+                 "n_patients": len(per_pat), "per_patient": per_pat}
+    if per_pat:
+        pred = np.array([r["ef_pred"] for r in per_pat])
+        ref = np.array([r["ef_ref"] for r in per_pat])
+        err = pred - ref
+        out["ef_mae"] = float(np.mean(np.abs(err)))
+        out["ef_rmse"] = float(np.sqrt(np.mean(err ** 2)))
+        out["ef_bias"] = float(np.mean(err))
+        if len(per_pat) > 1 and pred.std() > 0 and ref.std() > 0:
+            out["ef_pearson_r"] = float(np.corrcoef(pred, ref)[0, 1])
+        out["n_scored"] = len(per_pat)
+        out["table"] = format_ef_table(out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # EchoNet-Dynamic EF protocol.
 # ---------------------------------------------------------------------------
@@ -334,9 +478,11 @@ def echonet_ef(cfg, model, params, split: str = "VAL",
         lv = masks == 1
         vols = np.array([lv_volume_area_length(lv[t])
                          for t in range(lv.shape[0])])
+        # Beat-aware EF (per-beat estimates averaged — the EchoNet
+        # protocol shape); falls back to global extremes on short traces.
+        ef_pred, n_beats = beatwise_ef(vols)
         i_ed, i_es = detect_ed_es(vols)
-        ef_pred = ef_from_volumes(vols[i_ed], vols[i_es])
-        rec = {"video": name, "ef_pred": ef_pred,
+        rec = {"video": name, "ef_pred": ef_pred, "beats": n_beats,
                "frame_ed": i_ed, "frame_es": i_es,
                "frames": int(vid.shape[0])}
         if name in ef_labels:

@@ -124,6 +124,7 @@ class BatchingEngine:
         self._mem = jax.device_put(jnp.zeros(mem_shape, jnp.float32))
         self._seen = jax.device_put(jnp.zeros((streams,), jnp.int32))
 
+        self._resize_cache: Dict[tuple, object] = {}
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._queues: Dict[int, deque] = {}      # slot → deque[_Piece]
@@ -164,6 +165,24 @@ class BatchingEngine:
 
     # -- inference ----------------------------------------------------------
 
+    def _device_resize(self, video_u8: np.ndarray) -> np.ndarray:
+        """Resize a native-resolution video to the engine size on device
+        (jitted per source shape); masks are then at the engine size."""
+        jax = self._jax
+        key = ("resize", video_u8.shape[1:3])
+        fn = self._resize_cache.get(key)
+        if fn is None:
+            from gdkvm_tpu.ops.preproc import resize_u8
+            size = self.image_size
+
+            def _resize(v):
+                return resize_u8(v, (size, size))
+
+            fn = jax.jit(_resize)
+            self._resize_cache[key] = fn
+        return np.asarray(jax.device_get(fn(jax.device_put(
+            np.ascontiguousarray(video_u8)))))
+
     def infer(self, sid: str, video_u8: np.ndarray) -> np.ndarray:
         """Blocking: segment (T,H,W[,1]) u8, threading the session state."""
         jax = self._jax
@@ -174,9 +193,9 @@ class BatchingEngine:
             video_u8 = video_u8[..., None]
         t_total, hh, ww = video_u8.shape[:3]
         if (hh, ww) != (self.image_size, self.image_size):
-            raise ValueError(f"expected {self.image_size}² frames, "
-                             f"got {hh}×{ww} (resize client-side or use "
-                             f"gdkvm infer for arbitrary input)")
+            # Arbitrary-resolution input: resize ON DEVICE (fused matmul
+            # preproc, ops/preproc.py), one jitted call per source shape.
+            video_u8 = self._device_resize(video_u8)
         # Split into chunk pieces; stage on device up front (explicit
         # async device_put — jit-argument numpy upload is ~60× slower on
         # remote-dispatch platforms, CLAUDE.md rule 8).

@@ -168,3 +168,46 @@ def test_parity_cli_camus(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["protocol"] == "camus_official_ed_es_per_patient"
     assert out["n_patients"] == 1
+
+
+def test_beatwise_ef_multibeat_trace():
+    """Three identical beats → per-beat EFs average to the single-beat EF;
+    beat segmentation finds the minima."""
+    t = np.arange(72)
+    vols = 100 + 40 * np.cos(2 * np.pi * t / 24.0)   # ED=140, ES=60
+    ef, n_beats = parity.beatwise_ef(vols, smooth=1)
+    assert n_beats >= 2
+    assert ef == pytest.approx(100 * (140 - 60) / 140, abs=1.5)
+    # Short trace falls back to global extremes.
+    ef1, n1 = parity.beatwise_ef(vols[:10], smooth=1)
+    assert n1 == 1 and ef1 > 0
+
+
+def test_biplane_volume_rules():
+    # Sphere-ish sanity: equal views, V = 8 A² / (3πL).
+    v = parity.biplane_volume(100.0, 100.0, 20.0, 25.0)
+    assert v == pytest.approx(8 * 100 * 100 / (3 * np.pi * 20))
+    assert parity.biplane_volume(10, 10, 0.0, 5.0) == 0.0
+
+
+def test_camus_ef_exact_on_ground_truth(tmp_path):
+    """GT through the biplane-Simpson protocol ⇒ EF MAE exactly 0 (pred
+    and reference run the identical rule)."""
+    cfg = _camus_cfg(tmp_path)
+    from gdkvm_tpu.data.camus import CamusDataset
+    ds = CamusDataset(cfg.data.data_path, "val", image_size=64,
+                      clip_len=6, num_classes=4)
+    calls = {"n": 0}
+
+    def predict_fn(frames):
+        b = frames.shape[0]
+        lo = calls["n"]
+        calls["n"] += b
+        return np.stack([ds[min(lo + j, len(ds) - 1)][1]
+                         for j in range(b)])
+
+    res = parity.camus_ef(cfg, model=None, params=None, split="val",
+                          batch_size=4, predict_fn=predict_fn)
+    assert res["n_patients"] >= 1
+    assert res["ef_mae"] == pytest.approx(0.0, abs=1e-9)
+    assert all(0 <= r["ef_ref"] <= 100 for r in res["per_patient"])

@@ -169,3 +169,14 @@ def test_engine_artifact_path(small_model, tmp_path):
         eng.close()
     with pytest.raises(ValueError, match="re-export"):
         BatchingEngine(artifact=art, streams=4, chunk=CHUNK)
+
+
+def test_engine_arbitrary_resolution_input(small_model, engine):
+    """A native-resolution video is resized on device to the engine size;
+    masks come back at the engine size."""
+    rng = np.random.default_rng(9)
+    video = rng.integers(0, 255, (6, 100, 140, 1), np.uint8)
+    sid = engine.open_session()["session"]
+    masks = engine.infer(sid, video)
+    assert masks.shape == (6, SIZE, SIZE)
+    assert masks.dtype == np.uint8
