@@ -718,6 +718,81 @@ def cmd_parity(argv) -> int:
     return 0
 
 
+def cmd_validate_data(argv) -> int:
+    """Dataset layout health check: counts, geometry, class histogram,
+    annotation coverage — run this before pointing a training run at a
+    freshly mounted CAMUS/EchoNet artifact."""
+    import numpy as np
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.data.pipeline import make_dataset
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm validate-data")
+    p.add_argument("--config", default=None)
+    p.add_argument("--splits", default=None,
+                   help="comma list (default: train_split,val_split)")
+    p.add_argument("--sample", type=int, default=4,
+                   help="clips to decode per split for the histogram")
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+    splits = (args.splits.split(",") if args.splits
+              else [cfg.data.train_split, cfg.data.val_split])
+
+    out = {"dataset": cfg.data.dataset, "data_path": cfg.data.data_path,
+           "splits": {}, "warnings": []}
+    for split in splits:
+        try:
+            ds = make_dataset(cfg.data, split, cfg.model.num_classes)
+        except Exception as exc:
+            out["splits"][split] = {"error": f"{type(exc).__name__}: {exc}"}
+            out["warnings"].append(f"split {split!r} failed to open")
+            continue
+        info = {"clips": len(ds)}
+        if len(ds) == 0:
+            out["warnings"].append(f"split {split!r} is empty")
+        hist = np.zeros(cfg.model.num_classes, np.int64)
+        ann_frames = tot_frames = 0
+        geoms = set()
+        for i in range(min(args.sample, len(ds))):
+            frames, masks, valid = ds[i]
+            geoms.add(tuple(frames.shape[1:]))
+            vals, counts = np.unique(masks[valid > 0], return_counts=True)
+            for v, c in zip(vals, counts):
+                if v < hist.size:
+                    hist[v] += int(c)
+                else:
+                    out["warnings"].append(
+                        f"split {split!r}: mask class {int(v)} ≥ "
+                        f"model.num_classes={cfg.model.num_classes}")
+            ann_frames += int((valid > 0).sum())
+            tot_frames += int(valid.shape[0])
+        info["frame_geometry"] = sorted(str(g) for g in geoms)
+        info["annotated_frame_fraction"] = (
+            round(ann_frames / tot_frames, 3) if tot_frames else None)
+        total_px = int(hist.sum())
+        info["class_pixel_fractions"] = (
+            [round(float(c) / total_px, 4) for c in hist] if total_px
+            else None)
+        missing = [k for k in range(1, cfg.model.num_classes)
+                   if total_px and hist[k] == 0]
+        if missing:
+            out["warnings"].append(
+                f"split {split!r}: foreground classes {missing} absent "
+                f"in the sampled clips")
+        if cfg.data.dataset == "echonet":
+            from gdkvm_tpu.eval.parity import read_ef_labels
+            efs = read_ef_labels(cfg.data.data_path)
+            info["ef_labels"] = len(efs)
+            if not efs:
+                out["warnings"].append(
+                    "FileList.csv has no EF column — the echonet-ef "
+                    "parity protocol will have nothing to score against")
+        out["splits"][split] = info
+    out["ok"] = not out["warnings"]
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
 def cmd_convert_camus(argv) -> int:
     """Convert raw CAMUS (MetaImage .mhd) into the processed PNG layout."""
     from gdkvm_tpu.data.camus_raw import convert_raw_camus
@@ -745,6 +820,7 @@ _COMMANDS = {
     "scale": cmd_scale,
     "pack": cmd_pack,
     "convert-camus": cmd_convert_camus,
+    "validate-data": cmd_validate_data,
     "parity": cmd_parity,
     "serve": cmd_serve,
     "serve-bench": cmd_serve_bench,

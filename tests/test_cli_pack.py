@@ -36,3 +36,28 @@ def test_pack_then_train(tmp_path):
     lines = [json.loads(l)
              for l in open(os.path.join(run_dir, "metrics.jsonl"))]
     assert any("loss" in l for l in lines)
+
+
+def test_validate_data_camus_and_warnings(tmp_path, capsys):
+    """gdkvm validate-data: healthy CAMUS layout passes; bogus path and
+    missing-class situations warn with rc=1."""
+    import json
+    from gdkvm_tpu.cli import main
+    from gdkvm_tpu.data.camus import materialize_synthetic_camus
+    root = str(tmp_path / "camus")
+    materialize_synthetic_camus(root, num_train=2, num_val=2,
+                                image_size=48, clip_len=3, num_classes=4)
+    rc = main(["validate-data", f"data.data_path={root}",
+               "data.dataset=camus", "data.image_size=48",
+               "data.clip_len=3", "model.num_classes=4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"]
+    assert out["splits"]["train"]["clips"] == 2
+    assert out["splits"]["train"]["annotated_frame_fraction"] == 1.0
+    fr = out["splits"]["train"]["class_pixel_fractions"]
+    assert len(fr) == 4 and abs(sum(fr) - 1.0) < 0.01
+
+    rc2 = main(["validate-data", "data.data_path=/tmp/nope_nope",
+                "data.dataset=camus"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 1 and not out2["ok"] and out2["warnings"]
