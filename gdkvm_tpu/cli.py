@@ -804,10 +804,15 @@ def cmd_convert_camus(argv) -> int:
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--clip-len", type=int, default=10)
     p.add_argument("--val-fraction", type=float, default=0.1)
+    p.add_argument("--split-mode", choices=("random", "official"),
+                   default="random",
+                   help="official = fixed CAMUS patient-number split "
+                        "(1-400 train / 401-450 val / 451-500 test)")
     args = p.parse_args(argv)
     n = convert_raw_camus(args.raw, args.out, image_size=args.image_size,
                           clip_len=args.clip_len,
-                          val_fraction=args.val_fraction)
+                          val_fraction=args.val_fraction,
+                          split_mode=args.split_mode)
     print(json.dumps({"clips_written": n, "out": args.out}))
     return 0
 

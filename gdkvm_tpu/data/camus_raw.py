@@ -91,16 +91,39 @@ def _resize_stack(vol: np.ndarray, size: int, is_mask: bool) -> np.ndarray:
     return out
 
 
+def official_camus_split(patient: str) -> str:
+    """Fixed patient-number split of the 500-patient CAMUS release:
+    0001-0400 train, 0401-0450 val, 0451-0500 test — the common
+    literature protocol (per-patient, never per-view, so both views of a
+    patient land in one split).  The paper's exact fold should be
+    confirmed against its text when obtainable; this fixed split is the
+    reproducible default for parity runs."""
+    num = int("".join(ch for ch in patient if ch.isdigit()) or 0)
+    if num <= 400:
+        return "train"
+    if num <= 450:
+        return "val"
+    return "test"
+
+
 def convert_raw_camus(raw_root: str, out_root: str, *,
                       image_size: int = 256, clip_len: int = 10,
-                      val_fraction: float = 0.1, seed: int = 0) -> int:
+                      val_fraction: float = 0.1, seed: int = 0,
+                      split_mode: str = "random") -> int:
     """Convert raw CAMUS (patientNNNN dirs of .mhd half-sequences) into the
-    processed camus_png256x256_10f layout.  Returns #clips written."""
+    processed camus_png256x256_10f layout.  Returns #clips written.
+
+    split_mode: "random" (seeded per-patient val_fraction holdout) or
+    "official" (fixed patient-number split — see official_camus_split).
+    """
     patients = sorted(d for d in os.listdir(raw_root)
                       if d.startswith("patient")
                       and os.path.isdir(os.path.join(raw_root, d)))
     if not patients:
         raise FileNotFoundError(f"no patientNNNN directories in {raw_root}")
+    if split_mode not in ("random", "official"):
+        raise ValueError(f"split_mode must be random|official, "
+                         f"got {split_mode!r}")
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(patients))
     n_val = max(int(len(patients) * val_fraction), 1) \
@@ -120,7 +143,8 @@ def convert_raw_camus(raw_root: str, out_root: str, *,
             t_total = frames.shape[0]
             idx = np.linspace(0, t_total - 1, clip_len).round().astype(int)
             frames_r = _resize_stack(frames[idx], image_size, False)
-            split = "val" if pat in val_set else "train"
+            split = (official_camus_split(pat) if split_mode == "official"
+                     else ("val" if pat in val_set else "train"))
             clip_dir = os.path.join(out_root, split, f"{pat}_{view}")
             os.makedirs(clip_dir, exist_ok=True)
             for j in range(clip_len):

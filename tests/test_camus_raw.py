@@ -56,3 +56,41 @@ def test_convert_raw_camus(tmp_path):
 def test_convert_missing_dir(tmp_path):
     with pytest.raises(FileNotFoundError, match="patientNNNN"):
         camus_raw.convert_raw_camus(str(tmp_path), str(tmp_path / "o"))
+
+
+def test_official_split_rule():
+    from gdkvm_tpu.data.camus_raw import official_camus_split
+    assert official_camus_split("patient0001") == "train"
+    assert official_camus_split("patient0400") == "train"
+    assert official_camus_split("patient0401") == "val"
+    assert official_camus_split("patient0450") == "val"
+    assert official_camus_split("patient0451") == "test"
+    assert official_camus_split("patient0500") == "test"
+
+
+def test_convert_raw_camus_official_split(tmp_path):
+    """--split-mode official routes patients by number, both views
+    together."""
+    import numpy as np
+    from gdkvm_tpu.data.camus_raw import convert_raw_camus, write_mhd
+    raw = tmp_path / "raw"
+    for pat in ("patient0399", "patient0402", "patient0455"):
+        pdir = raw / pat
+        pdir.mkdir(parents=True)
+        for view in ("2CH", "4CH"):
+            vol = np.random.default_rng(0).integers(
+                0, 255, (6, 32, 32)).astype(np.uint8)
+            write_mhd(str(pdir / f"{pat}_{view}_half_sequence.mhd"), vol)
+            write_mhd(str(pdir / f"{pat}_{view}_half_sequence_gt.mhd"),
+                      (vol > 128).astype(np.uint8))
+    out = tmp_path / "proc"
+    n = convert_raw_camus(str(raw), str(out), image_size=32, clip_len=4,
+                          split_mode="official")
+    assert n == 6
+    import os
+    assert sorted(os.listdir(out / "train")) == [
+        "patient0399_2CH", "patient0399_4CH"]
+    assert sorted(os.listdir(out / "val")) == [
+        "patient0402_2CH", "patient0402_4CH"]
+    assert sorted(os.listdir(out / "test")) == [
+        "patient0455_2CH", "patient0455_4CH"]
