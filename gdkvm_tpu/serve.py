@@ -155,9 +155,15 @@ class BatchingEngine:
             slot = self._sessions.pop(sid, None)
             if slot is None:
                 return False
-            self._queues.pop(slot, None)
+            pending = self._queues.pop(slot, None)
             self._free.append(slot)
-            return True
+        # Fail any queued pieces so a concurrent infer() unblocks instead
+        # of waiting forever on work that will never be scheduled.
+        for piece in (pending or ()):
+            piece.error = KeyError(f"session {sid!r} closed with work "
+                                   f"pending")
+            piece.done.set()
+        return True
 
     def slot_of(self, sid: str) -> Optional[int]:
         with self._lock:
@@ -184,7 +190,12 @@ class BatchingEngine:
             np.ascontiguousarray(video_u8)))))
 
     def infer(self, sid: str, video_u8: np.ndarray) -> np.ndarray:
-        """Blocking: segment (T,H,W[,1]) u8, threading the session state."""
+        """Blocking: segment (T,H,W[,1]) u8, threading the session state.
+
+        One in-flight infer per session: the memory is a causal recurrence,
+        so a second concurrent call on the SAME session would interleave
+        its chunks into the first call's state timeline.  Different
+        sessions batch together freely (that is the whole design)."""
         jax = self._jax
         slot = self.slot_of(sid)
         if slot is None:

