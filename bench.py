@@ -6,6 +6,13 @@ streaming 112×112 segmentation with carried memory state on one TPU v5e.
 
 Flagship model config = EchoNet streaming (configs/echonet_stream.yaml
 model section): enc 32/64/96/128, 4 heads × 64×64 GDR state, bf16 compute.
+
+The headline is the SATURATED multi-stream number (8 independent videos
+in flight as one batched recurrence, chunk 32): it measures the chip, not
+the dev tunnel — single-stream throughput is dispatch-latency-bound on
+this setup and swings ~2× session to session (BASELINE.md), while the
+saturated number is stable.  Single-stream is still measurable with
+GDKVM_BENCH_BATCH=1 GDKVM_BENCH_CHUNK=16.
 """
 
 import json
@@ -57,8 +64,8 @@ def main() -> None:
     model = GDKVM(cfg=cfg)
     params = init_params(model, jax.random.PRNGKey(0), image_size=112)
 
-    chunk = int(os.environ.get("GDKVM_BENCH_CHUNK", "16"))
-    batch = int(os.environ.get("GDKVM_BENCH_BATCH", "1"))
+    chunk = int(os.environ.get("GDKVM_BENCH_CHUNK", "32"))
+    batch = int(os.environ.get("GDKVM_BENCH_BATCH", "8"))
     # Best-of-3: the dev tunnel's dispatch latency swings ~2× window to
     # window; the max is the stable estimate of device throughput.
     reps = int(os.environ.get("GDKVM_BENCH_REPS", "3"))

@@ -80,11 +80,36 @@ from gdkvm_tpu.core import gdr as gdr_core
 
 _F32 = jnp.float32
 
-# True-fp32 MXU passes: the delta rule's rank-1 cancellations lose ~1e-2
-# relative accuracy under the default bf16 matmul truncation (measured on
-# v5e); HIGHEST costs extra passes only on these tiny (≤128²) matrices.
-_dot = functools.partial(jnp.dot, preferred_element_type=_F32,
-                         precision=jax.lax.Precision.HIGHEST)
+# MXU pass count vs accuracy: the delta rule's rank-1 cancellations lose
+# ~1e-2 relative accuracy under the DEFAULT bf16 matmul truncation
+# (measured on v5e), so single-pass bf16 is never used.  "highest" is true
+# fp32 (6 MXU passes).  "high" is a hand-rolled bf16x3 decomposition —
+# split each fp32 operand into hi/lo bf16 halves and issue the 3
+# significant cross products as single-pass bf16 dots (Mosaic rejects
+# jax.lax.Precision.HIGH inside kernels, so the split is explicit).  That
+# halves the MXU passes (measured 1.10-1.25× kernel speedup, same-window
+# v5e A/B); end-to-end drift vs the fp32 scan ground truth is 2.3e-5 to
+# 4.3e-5 at T=10-128 (BASELINE.md; "highest" is bit-exact vs the XLA
+# chunked form on-chip) — far below anything an argmax'd mask can see, so
+# "high" is the default for this inference-path kernel.  GDKVM_GDR_PRECISION=highest restores exact-parity mode (read
+# once at import; baked into each trace like GDKVM_GDR_BWD).  CPU
+# interpret mode always uses native fp32 dots, so CPU parity tests are
+# mode-independent.
+_PRECISION_MODE = os.environ.get("GDKVM_GDR_PRECISION", "high")
+if _PRECISION_MODE not in ("high", "highest"):
+    raise ValueError(f"GDKVM_GDR_PRECISION must be high|highest, "
+                     f"got {_PRECISION_MODE!r}")
+
+
+def _fast_dots() -> bool:
+    """bf16x3 mode — trace-time decision; CPU always exact fp32."""
+    return _PRECISION_MODE == "high" and jax.default_backend() != "cpu"
+
+
+def _split_bf16(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(_F32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,11 +117,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _bdot(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Head-batched matmul: (H,M,K) @ (H,K,N) → (H,M,N), fp32 MXU."""
-    return jax.lax.dot_general(
-        x, y, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=_F32,
-        precision=jax.lax.Precision.HIGHEST)
+    """Head-batched matmul: (H,M,K) @ (H,K,N) → (H,M,N), fp32 accumulate.
+
+    In bf16x3 mode: x ≈ x_hi + x_lo (bf16 halves, 16 mantissa bits), and
+    x·y ≈ x_hi·y_hi + x_hi·y_lo + x_lo·y_hi — three single-pass bf16 MXU
+    products with fp32 accumulation; the dropped x_lo·y_lo term is
+    ≤2⁻¹⁶-relative.  Otherwise: one true-fp32 HIGHEST dot (6 passes)."""
+    dn = (((2,), (1,)), ((0,), (0,)))
+    if not _fast_dots():
+        return jax.lax.dot_general(x, y, dimension_numbers=dn,
+                                   preferred_element_type=_F32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    xh, xl = _split_bf16(x)
+    yh, yl = _split_bf16(y)
+    bdot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                             preferred_element_type=_F32,
+                             precision=jax.lax.Precision.DEFAULT)
+    return bdot(xh, yh) + (bdot(xh, yl) + bdot(xl, yh))
 
 
 def _tril_mask(a: jax.Array) -> jax.Array:
@@ -165,31 +202,33 @@ def _solve_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
     return jnp.concatenate(blocks[::-1], axis=1)
 
 
-def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
-                beta2: jax.Array, eta2: jax.Array
-                ) -> Tuple[jax.Array, jax.Array]:
-    """One frame's read+write on VALUES (not refs): shared by the forward
-    kernel and the backward kernel's recompute.
+def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, vb: jax.Array,
+                ke: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """One frame's read+write on VALUES (not refs) — forward kernel body.
 
     Decoupled gates (GDN-2 lineage, core/gdr.py derivation): β is the
     WRITE strength, η the ERASE strength; η ≡ β recovers the classic
     coupled rule (the public coupled API passes beta for both, and AD
     sums the two cotangents).
 
-    Args (all fp32): s_dec (H,dk,dv) decayed state S̃; q,k (H,N,dk);
-    v (H,N,dv); beta2, eta2 (H,N,1).  Returns (s_new (H,dk,dv),
-    o (H,N,dv)).
+    The gates arrive PREMULTIPLIED: vb = β⊙V, ke = η⊙K (diag(η) K),
+    computed outside the kernel where XLA fuses them for free.  This
+    keeps every kernel operand a well-tiled (..., N, d) tensor — the
+    earlier (..., N, 1) β/η operands tiled to 128 lanes (128× padded
+    DMA per block) and forced XLA relayout copies at the call boundary.
+
+    Args (all fp32): s_dec (H,dk,dv) decayed state S̃; q,k,ke (H,N,dk);
+    vb (H,N,dv).  Returns (s_new (H,dk,dv), o (H,N,dv)).
     """
     # LKVA read against the decayed pre-write state.
     o = _bdot(q, s_dec)
 
     # WY transform per head: A = strict_tril(diag(η) K Kᵀ).
-    ke = k * eta2                           # diag(η) K
     a = _tril_mask(_bdot(ke, k.transpose(0, 2, 1)))
-    rhs = jnp.concatenate([v * beta2, ke], axis=2)       # (H, N, dv+dk)
+    rhs = jnp.concatenate([vb, ke], axis=2)              # (H, N, dv+dk)
     uw = _solve_lower(a, rhs)
-    u = uw[:, :, : v.shape[2]]
-    w = uw[:, :, v.shape[2]:]
+    u = uw[:, :, : vb.shape[2]]
+    w = uw[:, :, vb.shape[2]:]
 
     # Fused N-token delta-rule write.
     s_new = s_dec + _bdot(k.transpose(0, 2, 1), u - _bdot(w, s_dec))
@@ -236,8 +275,8 @@ def _frame_adjoint(s_dec, q, k, v, beta2, eta2, g, do):
     return ds_dec, dq, dk_out, dv_out, dbeta2, deta2
 
 
-def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
-                eta_ref, s0_ref, *rest):
+def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, vb_ref,
+                ke_ref, s0_ref, *rest):
     """One (b, t) grid step: advance all H heads' states one frame.
 
     Operands arrive in the model's native (B, H, T, N, d) layout — the
@@ -245,6 +284,9 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
     transpose is materialized at the pallas_call boundary (the r1 kernel
     swapped to (B,T,H,...) first, and those copies were exactly why it
     lost to XLA at EchoNet scale — BASELINE.md GDR crossover rows).
+    H here may be G·num_heads: independent streams are folded into the
+    head-batched block (``_batch_group``) so the sequential grid is only
+    (B/G, T) — per-step work ×G, per-step fixed cost amortized.
 
     alpha_ref is a scalar-prefetch arg: the full (B, H, T) gate table lives
     in SMEM for the whole kernel (PrefetchScalarGridSpec).  The state
@@ -272,16 +314,15 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, v_ref, beta_ref,
     h = q_ref.shape[1]
     q = q_ref[0, :, 0].astype(_F32)         # (H, N, dk)
     k = k_ref[0, :, 0].astype(_F32)         # (H, N, dk)
-    v = v_ref[0, :, 0].astype(_F32)         # (H, N, dv)
-    beta = beta_ref[0, :, 0].astype(_F32)   # (H, N, 1)
-    eta = eta_ref[0, :, 0].astype(_F32)     # (H, N, 1)
+    vb = vb_ref[0, :, 0].astype(_F32)       # (H, N, dv)  β⊙V
+    ke = ke_ref[0, :, 0].astype(_F32)       # (H, N, dk)  η⊙K
 
     # Decay each head's state in place (scalar × 2D slice — Mosaic-friendly;
     # a (H,) vector → (H,1,1) broadcast is an unsupported shape cast).
     for i in range(h):
         s_scr[i] = alpha_ref[b, i, t].astype(_F32) * s_scr[i]
 
-    s_new, o = _frame_math(s_scr[:], q, k, v, beta, eta)
+    s_new, o = _frame_math(s_scr[:], q, k, vb, ke)
     o_ref[0, :, 0] = o.astype(o_ref.dtype)
     s_scr[:] = s_new
 
@@ -348,11 +389,12 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
         ds0_ref[0] = ds_scr[:]
 
 
-def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
-                     beta: jax.Array, eta: jax.Array, alpha: jax.Array,
+def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
+                     ke: jax.Array, alpha: jax.Array,
                      s0: jax.Array, interpret: bool, save_states: bool):
     """Flat (B, H, T, N, d) invocation — the API layout, consumed directly.
-    N must be pre-padded (β=0 on pads).
+    N must be pre-padded (vb=ke=0 on pads ⇒ exact no-op writes); gate
+    premultiplies (vb = β⊙V, ke = η⊙K) happen in XLA before the call.
 
     All H heads advance together per grid step (head-batched matmuls), so
     the sequential grid is only (B, T) — fewer, larger steps.  Each grid
@@ -360,9 +402,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
     ever materialized.
     """
     b, h, t, n, dk = q.shape
-    dv = v.shape[-1]
-    beta2 = beta[..., None]                 # (B,H,T,N,1)
-    eta2 = eta[..., None]
+    dv = vb.shape[-1]
 
     blk = lambda d: pl.BlockSpec((1, h, 1, n, d),
                                  lambda g, i, *_: (g, 0, i, 0, 0))
@@ -384,9 +424,8 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
         in_specs=[
             blk(dk),                    # q
             blk(dk),                    # k
-            blk(dv),                    # v
-            blk(1),                     # beta
-            blk(1),                     # eta
+            blk(dv),                    # vb = β⊙V
+            blk(dk),                    # ke = η⊙K
             pl.BlockSpec((1, h, dk, dv), lambda g, i, *_: (g, 0, 0, 0)),
         ],
         out_specs=tuple(out_specs),
@@ -403,7 +442,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, v: jax.Array,
             bytes_accessed=b * h * t * n * (2 * dk + 2 * dv) * 4,
             transcendentals=0,
         ),
-    )(alpha, q, k, v, beta2, eta2, s0)
+    )(alpha, q, k, vb, ke, s0)
 
 
 def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
@@ -474,6 +513,45 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
     )(alpha, q, k, v, beta2, eta2, states, do, dsT)
 
 
+def _batch_group(b: int, h: int, n: int, dk: int, dv: int) -> int:
+    """Streams folded into one grid step (VMEM-budgeted).
+
+    The time grid is sequential by nature, but batch elements are
+    independent — and on a single-TensorCore chip every grid step
+    serializes, so a (B, T) grid pays the per-step fixed cost B·T times
+    for tiny per-step matmuls (measured: ~12 µs/step at B=8 H=4 N=49
+    d=64 → 3.0 ms for 7.4 GFLOP ≈ 2.5 TFLOP/s, 60% of the whole model's
+    forward time).  Folding G streams into the head-batched block makes
+    the sequential grid (B/G, T): per-step work ×G, per-step overhead
+    amortized.  G is the largest divisor of B whose per-step VMEM
+    footprint (operand blocks + the (N,N) WY solve intermediates,
+    double-buffered blocks included) fits a conservative budget."""
+    per_stream = 4.0 * h * (2 * n * dk + 2 * n * dv + 2 * n   # q,k,v,o,β,η
+                            + n * n                            # A = KKᵀ tril
+                            + 2 * n * (dk + dv)                # rhs + solve
+                            + 3 * dk * dv)                     # S, S̃, S'
+    # Mosaic's scoped-VMEM stack measures ~4× this estimate (double-buffered
+    # operand/output blocks + live unrolled solve temporaries): 24.56 MB at
+    # g=8, H=4, N=64, d=64 ⇒ ~3.07 MB/stream vs 0.79 estimated.  Budget the
+    # ESTIMATE at 3.5 MB so the real footprint stays under the 16 MB limit
+    # with headroom (g=4 at that shape ⇒ ~12.3 MB measured-scale).
+    g = max(1, min(b, int(3.5e6 // per_stream)))
+    while b % g:
+        g -= 1
+    return g
+
+
+def _group(x: jax.Array, g: int) -> jax.Array:
+    """(B, H, ...) → (B/G, G·H, ...) — adjacent-dim reshape, no copy."""
+    b, h = x.shape[0], x.shape[1]
+    return x.reshape(b // g, g * h, *x.shape[2:])
+
+
+def _ungroup(x: jax.Array, g: int) -> jax.Array:
+    b_g, gh = x.shape[0], x.shape[1]
+    return x.reshape(b_g * g, gh // g, *x.shape[2:])
+
+
 def _pad_tokens(x: jax.Array, n_pad: int) -> jax.Array:
     if x.shape[-2] == n_pad:
         return x
@@ -495,6 +573,20 @@ def _flat_inputs(q, k, v, beta, eta, alpha):
     bf = _pad_tokens(beta[..., None], n_pad)[..., 0]
     ef = _pad_tokens(eta[..., None], n_pad)[..., 0]
     return qf, kf, vf, bf, ef, alpha.astype(_F32)
+
+
+def _flat_inputs_premul(q, k, v, beta, eta, alpha):
+    """Forward-kernel operands: token-padded q, k and PREMULTIPLIED
+    vb = β⊙V, ke = η⊙K (fused by XLA outside the kernel).  Pads carry
+    vb = ke = 0 — exact no-op writes, and the kernel never sees a
+    (..., N, 1) operand (those tile to 128 lanes: 128× padded DMA)."""
+    n = q.shape[-2]
+    n_pad = max(_round_up(n, 16), 16)
+    vb = v.astype(_F32) * beta[..., None].astype(_F32)
+    ke = k.astype(_F32) * eta[..., None].astype(_F32)
+    return (_pad_tokens(q, n_pad), _pad_tokens(k, n_pad),
+            _pad_tokens(vb, n_pad), _pad_tokens(ke, n_pad),
+            alpha.astype(_F32))
 
 
 def _interpret() -> bool:
@@ -524,13 +616,17 @@ def gdr_pallas_bh(q, k, v, beta, alpha, s0):
 
 
 def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool):
-    n = q.shape[-2]
-    qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
-    outs = _gdr_pallas_flat(qf, kf, vf, bf, ef, af, s0, _interpret(),
-                            save_states)
-    o, s_t = outs[0], outs[1]
-    o = o[:, :, :, :n, :]                               # (B,H,T,N,dv)
-    return o, s_t, (outs[2] if save_states else None)
+    b, h, _, n, dk = q.shape
+    dv = v.shape[-1]
+    qf, kf, vbf, kef, af = _flat_inputs_premul(q, k, v, beta, eta, alpha)
+    g = _batch_group(b, h, qf.shape[-2], dk, dv)
+    outs = _gdr_pallas_flat(
+        _group(qf, g), _group(kf, g), _group(vbf, g), _group(kef, g),
+        _group(af, g), _group(s0, g), _interpret(), save_states)
+    o = _ungroup(outs[0], g)[:, :, :, :n, :]            # (B,H,T,N,dv)
+    s_t = _ungroup(outs[1], g)
+    states = _ungroup(outs[2], g) if save_states else None
+    return o, s_t, states
 
 
 def _fwd(q, k, v, beta, alpha, s0, eta):
@@ -565,13 +661,16 @@ def _bwd(residuals, cotangents):
         return vjp(cotangents)
 
     do, dsT = cotangents
-    n = q.shape[-2]
+    b, h, _, n, dk = q.shape
     n_pad = max(_round_up(n, 16), 16)
     qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
     dof = _pad_tokens(do.astype(_F32), n_pad)
-    dqf, dkf, dvf, dbf, def_, daf, ds0 = _gdr_pallas_bwd_flat(
-        qf, kf, vf, bf, ef, af, states, dof, dsT.astype(_F32),
-        _interpret())
+    g = _batch_group(b, h, n_pad, dk, v.shape[-1])
+    outs = _gdr_pallas_bwd_flat(
+        _group(qf, g), _group(kf, g), _group(vf, g), _group(bf, g),
+        _group(ef, g), _group(af, g), _group(states, g), _group(dof, g),
+        _group(dsT.astype(_F32), g), _interpret())
+    dqf, dkf, dvf, dbf, def_, daf, ds0 = (_ungroup(x, g) for x in outs)
 
     unpad = lambda x: x[:, :, :, :n]
     dq = unpad(dqf).astype(q.dtype)

@@ -14,7 +14,8 @@ def test_bench_prints_one_json_line():
                GDKVM_PLATFORM="cpu",
                GDKVM_BENCH_REPS="1",
                GDKVM_BENCH_TIMED_CHUNKS="2",
-               GDKVM_BENCH_CHUNK="4")
+               GDKVM_BENCH_CHUNK="4",
+               GDKVM_BENCH_BATCH="1")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, timeout=900,
                          env=env, cwd=REPO)
