@@ -162,6 +162,20 @@ def _inv_diag_fn(bs: int):
     return inv_diag
 
 
+def _inv_diags(a: jax.Array, bs: int) -> jax.Array:
+    """(I + A_ii)^{-1} for ALL nb diagonal blocks of strictly-lower A
+    (H,N,N) in ONE batched series chain: the blocks are independent, so
+    stacking them turns nb × ~7 tiny (H,bs,bs) matmuls into ~7 matmuls of
+    batch nb·H — far fewer MXU issue slots per grid step (the kernel is
+    instruction-issue-bound at small N).  Returns (nb, H, bs, bs)."""
+    h, n = a.shape[0], a.shape[-1]
+    nb = n // bs
+    diags = jnp.stack([a[:, i * bs:(i + 1) * bs, i * bs:(i + 1) * bs]
+                       for i in range(nb)])          # (nb, H, bs, bs)
+    inv = _inv_diag_fn(bs)(diags.reshape(nb * h, bs, bs))
+    return inv.reshape(nb, h, bs, bs)
+
+
 def _solve_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
     """X = (I + A)^{-1} RHS for strictly-lower A (H,N,N) by blocked forward
     substitution: exact nilpotent-series inverses on ≤16×16 diagonal blocks
@@ -170,15 +184,14 @@ def _solve_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
     core.gdr._solve_unit_lower; all ops MXU, no dynamic slices."""
     n = a.shape[-1]
     bs = min(16, n)                         # n is padded to a multiple of bs
-    inv_diag = _inv_diag_fn(bs)
+    invs = _inv_diags(a, bs)
     blocks = []
     for i in range(n // bs):
         r_i = rhs[:, i * bs:(i + 1) * bs]
         if i:
             x_prev = jnp.concatenate(blocks, axis=1)
             r_i = r_i - _bdot(a[:, i * bs:(i + 1) * bs, : i * bs], x_prev)
-        a_ii = a[:, i * bs:(i + 1) * bs, i * bs:(i + 1) * bs]
-        blocks.append(_bdot(inv_diag(a_ii), r_i))
+        blocks.append(_bdot(invs[i], r_i))
     return jnp.concatenate(blocks, axis=1)
 
 
@@ -188,7 +201,7 @@ def _solve_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
     adjoint of :func:`_solve_lower` used by the backward kernel."""
     n = a.shape[-1]
     bs = min(16, n)
-    inv_diag = _inv_diag_fn(bs)
+    invs = _inv_diags(a, bs)
     nb = n // bs
     blocks = []                             # stored last-block-first
     for j in range(nb - 1, -1, -1):
@@ -197,8 +210,7 @@ def _solve_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
             y_below = jnp.concatenate(blocks[::-1], axis=1)  # rows > block j
             a_below = a[:, (j + 1) * bs:, j * bs:(j + 1) * bs]
             r_j = r_j - _bdot(a_below.transpose(0, 2, 1), y_below)
-        a_jj = a[:, j * bs:(j + 1) * bs, j * bs:(j + 1) * bs]
-        blocks.append(_bdot(inv_diag(a_jj).transpose(0, 2, 1), r_j))
+        blocks.append(_bdot(invs[j].transpose(0, 2, 1), r_j))
     return jnp.concatenate(blocks[::-1], axis=1)
 
 
