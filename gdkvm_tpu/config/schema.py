@@ -48,8 +48,10 @@ class ModelConfig:
     # Kernel selection for the GDR scan: "auto" (DEFAULT — the transpose-
     # free Pallas TPU kernel on accelerators, XLA chunked on CPU; the
     # kernel won or tied XLA at every measured v5e shape, BASELINE.md GDR
-    # crossover table), "chunked" (pure JAX — required for multi-platform
-    # export), "pallas" (force the kernel), "ref" (token scan, tests).
+    # crossover table), "chunked" (pure JAX sequential scan — required for
+    # multi-platform export), "assoc" (pure JAX log-depth associative
+    # scan over affine frame transitions), "pallas" (force the kernel),
+    # "ref" (token scan, tests).
     gdr_impl: str = "auto"
     # Recurrence variant: "gdn" (classic coupled gated delta rule — the
     # erase and write strengths share one β gate) or "gdn2" (decoupled:

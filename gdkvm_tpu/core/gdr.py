@@ -24,7 +24,10 @@ tests/test_gdr.py:
 
 - :func:`gdr_ref` — token-level ``lax.scan``; the executable definition.
 - :func:`gdr_chunked` — chunkwise WY/UT-transform closed form (matmul-only,
-  MXU-friendly, differentiable); used by training.
+  MXU-friendly, differentiable); sequential ``lax.scan`` over frames.
+- :func:`gdr_assoc` — same WY form, but the frame recurrence runs as a
+  log-depth ``jax.lax.associative_scan`` over affine state transitions
+  (differentiable; removes the T-step serialization entirely).
 - ``gdkvm_tpu.ops.gdr_pallas`` — Pallas TPU kernel with S resident in VMEM
   across the whole scan; used by streaming inference.
 
@@ -250,6 +253,61 @@ def gdr_chunked(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
     return o, s_t
 
 
+def gdr_assoc(q: jax.Array, k: jax.Array, v: jax.Array, beta: jax.Array,
+              alpha: jax.Array, s0: jax.Array,
+              eta: jax.Array | None = None
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Parallel-scan GDR: the frame recurrence as an associative scan.
+
+    The chunked form's remaining serialization is its ``lax.scan`` over T
+    frames — T sequential steps of tiny matmuls that leave the MXU idle
+    (measured: the memory path burned 60-70% of forward time for ~5% of
+    the FLOPs, BASELINE.md per-module table).  But with the WY outputs
+    (U_t, W_t) in hand, each frame's state transition is AFFINE:
+
+        S_t = α_t S_{t-1} + K_tᵀ(U_t − W_t α_t S_{t-1}) = M_t S_{t-1} + b_t
+        M_t = α_t (I − K_tᵀ W_t)   (d_k×d_k)      b_t = K_tᵀ U_t
+
+    Affine maps compose associatively ((M₂M₁, M₂b₁ + b₂)), so ALL prefix
+    states come out of one ``jax.lax.associative_scan`` — log₂(T) levels
+    of batched d_k×d_k matmuls instead of T sequential steps, fully
+    MXU-batched across (B, H, T).  Differentiable (the scan is built from
+    lax primitives; its transpose is also log-depth).  Costs ~2× the scan
+    body's FLOPs in exchange for ~T/log T less serialization.
+
+    Numerics: every M_t is a contraction (α_t ≤ 1; I − K_tᵀW_t is the
+    product of delta-rule erasures with β ≤ 1, all singular values ≤ 1),
+    so prefix products stay bounded at any T.  fp32 HIGHEST throughout,
+    like the other forms.  Parity vs gdr_ref tested in tests/test_gdr.py.
+
+    Shapes: see module docstring.  Returns (o (T,N,d_v) fp32, s_T fp32).
+    """
+    u, w = jax.vmap(_wy_transform)(k, v, beta,
+                                   beta if eta is None else eta)
+    dk = k.shape[-1]
+    k32 = k.astype(jnp.float32)
+    a32 = alpha.astype(jnp.float32)
+    eye = jnp.eye(dk, dtype=jnp.float32)
+    kt_w = jnp.einsum("tni,tnj->tij", k32, w,
+                      precision=jax.lax.Precision.HIGHEST)
+    m = a32[:, None, None] * (eye - kt_w)              # (T, dk, dk)
+    bv = jnp.einsum("tni,tnj->tij", k32, u,
+                    precision=jax.lax.Precision.HIGHEST)  # (T, dk, dv)
+
+    def combine(f, g):
+        """Compose affine maps: g AFTER f (f is the earlier prefix)."""
+        mf, bf = f
+        mg, bg = g
+        return _mm(mg, mf), _mm(mg, bf) + bg
+
+    pm, pb = jax.lax.associative_scan(combine, (m, bv))
+    s_all = _mm(pm, s0.astype(jnp.float32)) + pb       # S_t for all t
+    s_prev = jnp.concatenate([s0.astype(jnp.float32)[None], s_all[:-1]],
+                             axis=0)
+    o = _mm(q.astype(jnp.float32), a32[:, None, None] * s_prev)
+    return o, s_all[-1]
+
+
 def gdr_write_chunk(s: jax.Array, k: jax.Array, v: jax.Array,
                     beta: jax.Array) -> jax.Array:
     """Write-only chunk update (no decay, no read): N delta-rule writes.
@@ -283,6 +341,7 @@ def _bh_wrap(fn):
 
 gdr_ref_bh = _bh_wrap(gdr_ref)
 gdr_chunked_bh = _bh_wrap(gdr_chunked)
+gdr_assoc_bh = _bh_wrap(gdr_assoc)
 
 
 def _bh_wrap_ew(fn):
@@ -298,6 +357,7 @@ def _bh_wrap_ew(fn):
 # Decoupled erase/write (GDN-2 lineage): eta (B,H,T,N) as an explicit arg.
 gdr_ref_ew_bh = _bh_wrap_ew(gdr_ref)
 gdr_chunked_ew_bh = _bh_wrap_ew(gdr_chunked)
+gdr_assoc_ew_bh = _bh_wrap_ew(gdr_assoc)
 
 # (B,H,·) wrapper for write-only prompt updates.
 gdr_write_chunk_bh = jax.vmap(jax.vmap(gdr_write_chunk))

@@ -48,7 +48,7 @@ class LKVAMemory(nn.Module):
     head_dim_v: int = 64
     out_channels: int = 128
     dtype: jnp.dtype = jnp.bfloat16
-    gdr_impl: str = "auto"             # auto | chunked | ref | pallas
+    gdr_impl: str = "auto"       # auto | chunked | assoc | ref | pallas
     gdr_variant: str = "gdn"           # gdn (η=β) | gdn2 (separate erase)
 
     def _impl(self) -> str:
@@ -188,6 +188,9 @@ class LKVAMemory(nn.Module):
             elif impl == "pallas":
                 o, new_state = gdr_pallas_mod().gdr_pallas_ew_bh(
                     qh, kh, vh, bh, ah, state, eh)
+            elif impl == "assoc":
+                o, new_state = gdr.gdr_assoc_ew_bh(qh, kh, vh, bh, ah,
+                                                   state, eh)
             else:
                 o, new_state = gdr.gdr_chunked_ew_bh(qh, kh, vh, bh, ah,
                                                      state, eh)
@@ -196,6 +199,8 @@ class LKVAMemory(nn.Module):
         elif impl == "pallas":
             o, new_state = gdr_pallas_mod().gdr_pallas_bh(
                 qh, kh, vh, bh, ah, state)
+        elif impl == "assoc":
+            o, new_state = gdr.gdr_assoc_bh(qh, kh, vh, bh, ah, state)
         else:
             o, new_state = gdr.gdr_chunked_bh(qh, kh, vh, bh, ah, state)
 

@@ -242,3 +242,89 @@ def test_model_gdn2_variant_trains():
     got = jnp.concatenate([lo_a, lo_b], axis=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(logits),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("T,N,dk,dv", [(1, 1, 4, 4), (3, 5, 8, 6),
+                                       (8, 16, 16, 16), (10, 7, 16, 8),
+                                       (2, 49, 32, 32)])
+def test_assoc_matches_ref(T, N, dk, dv):
+    """Parallel (associative-scan) form ≡ token-level scan reference,
+    including non-power-of-two T."""
+    q, k, v, beta, alpha, s0 = _rand(jax.random.PRNGKey(6), T, N, dk, dv)
+    o_ref, s_ref = gdr.gdr_ref(q, k, v, beta, alpha, s0)
+    o_as, s_as = gdr.gdr_assoc(q, k, v, beta, alpha, s0)
+    np.testing.assert_allclose(o_as, o_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s_as, s_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_assoc_decoupled_matches_ref():
+    """assoc with an independent erase gate ≡ scan reference."""
+    q, k, v, beta, alpha, s0 = _rand(jax.random.PRNGKey(7), T=5, N=6)
+    eta = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(8), beta.shape))
+    o_ref, s_ref = gdr.gdr_ref(q, k, v, beta, alpha, s0, eta)
+    o_as, s_as = gdr.gdr_assoc(q, k, v, beta, alpha, s0, eta)
+    np.testing.assert_allclose(o_as, o_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s_as, s_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_assoc_long_sequence_stable():
+    """T=128 prefix products of contractive transitions stay bounded and
+    match the sequential chunked form (long-context streaming shape)."""
+    q, k, v, beta, alpha, s0 = _rand(jax.random.PRNGKey(9), T=128, N=8,
+                                     dk=16, dv=16)
+    o_ch, s_ch = gdr.gdr_chunked(q, k, v, beta, alpha, s0)
+    o_as, s_as = gdr.gdr_assoc(q, k, v, beta, alpha, s0)
+    assert np.isfinite(np.asarray(o_as)).all()
+    np.testing.assert_allclose(o_as, o_ch, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(s_as, s_ch, rtol=5e-4, atol=5e-5)
+
+
+def test_assoc_gradients_match_chunked():
+    """The training contract: d(loss)/d(inputs) through the associative
+    scan ≡ through the sequential chunked form (same math, different
+    execution order)."""
+    q, k, v, beta, alpha, s0 = _rand(jax.random.PRNGKey(10), T=4, N=5)
+
+    def loss(fn):
+        def f(args):
+            o, s_t = fn(*args)
+            return jnp.sum(o ** 2) + jnp.sum(s_t ** 2)
+        return f
+
+    args = (q, k, v, beta, alpha, s0)
+    g_ch = jax.grad(loss(gdr.gdr_chunked))(args)
+    g_as = jax.grad(loss(gdr.gdr_assoc))(args)
+    for a, c in zip(g_as, g_ch):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_assoc_streaming_equals_batched():
+    """Carried state across assoc calls ≡ one assoc call (serving contract)."""
+    q, k, v, beta, alpha, s0 = _rand(jax.random.PRNGKey(11), T=6)
+    o_full, s_full = gdr.gdr_assoc(q, k, v, beta, alpha, s0)
+    o_a, s_a = gdr.gdr_assoc(q[:3], k[:3], v[:3], beta[:3], alpha[:3], s0)
+    o_b, s_b = gdr.gdr_assoc(q[3:], k[3:], v[3:], beta[3:], alpha[3:], s_a)
+    np.testing.assert_allclose(jnp.concatenate([o_a, o_b]), o_full,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s_b, s_full, rtol=1e-4, atol=1e-5)
+
+
+def test_model_forward_assoc_matches_chunked():
+    """gdr_impl='assoc' through the full model ≡ 'chunked' (fp32)."""
+    from gdkvm_tpu.config.schema import ModelConfig
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+
+    kw = dict(in_channels=1, num_classes=2, enc_channels=(8, 16, 24, 32),
+              enc_blocks=(1, 1, 1, 1), num_heads=2, head_dim_k=16,
+              head_dim_v=16, kpff_channels=(24, 16, 8),
+              compute_dtype="float32")
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 32, 32, 1))
+    outs = {}
+    for impl in ("chunked", "assoc"):
+        model = GDKVM(cfg=ModelConfig(gdr_impl=impl, **kw))
+        params = init_params(model, jax.random.PRNGKey(0), image_size=32)
+        outs[impl] = model.apply(params, frames)[0]
+    np.testing.assert_allclose(np.asarray(outs["assoc"]),
+                               np.asarray(outs["chunked"]),
+                               rtol=1e-4, atol=1e-4)
