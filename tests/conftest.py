@@ -34,6 +34,9 @@ _SLOW_TESTS = frozenset({
     "test_streaming_equals_batched_core", "test_batched_head_wrapper",
     "test_beta_zero_is_pure_decay", "test_read_is_pre_write",
     "test_chunked_stable_with_correlated_keys_large_n",
+    "test_assoc_matches_ref", "test_assoc_long_sequence_stable",
+    "test_assoc_gradients_match_chunked", "test_assoc_decoupled_matches_ref",
+    "test_model_forward_assoc_matches_chunked",
     # test_gdr_pallas.py
     "test_pallas_fuzz_shapes", "test_pallas_decoupled_gates",
     "test_pallas_fused_bwd_all_grads", "test_pallas_matches_ref",
