@@ -14,6 +14,14 @@ Methodology (tunnel-proof):
   - Per-call dispatch cost is amortized across REPS, so module times are
     separable even through the dev tunnel (r1 found single-call component
     timings were NOT separable — dispatch floor dominated).
+  - **Floor subtraction**: one timed run = one dispatch+fetch round trip
+    (~30 ms through the dev tunnel) + REPS × module-time, so every row
+    carries a floor of RTT/REPS.  At the r2-early default reps=20 that
+    inflated each row by ~1.5 ms — comparable to the modules themselves
+    (the 2026-08-17 module table in BASELINE.md has this bias).  Now the
+    harness times an identity scan with the SAME reps and subtracts that
+    measured floor from every row; reps defaults to 100 so the residual
+    floor error is <0.1 ms.
 """
 
 from __future__ import annotations
@@ -61,11 +69,19 @@ def _timed(fn, args, reps: int) -> float:
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def _floor_ms(reps: int) -> float:
+    """Per-rep harness floor: the dispatch+fetch round trip of ONE timed
+    run, amortized over reps — measured with an identity-sized body so it
+    can be subtracted from every module row (min of 3 to reject noise)."""
+    tiny = jnp.ones((8, 8), jnp.float32)
+    return min(_timed(lambda a: a * 2.0, (tiny,), reps) for _ in range(3))
+
+
 def module_breakdown(model: GDKVM, params, *, image_size: int = 112,
-                     chunk: int = 16, batch: int = 1, reps: int = 20,
+                     chunk: int = 16, batch: int = 1, reps: int = 100,
                      include_loss: bool = True, seed: int = 0
                      ) -> Dict[str, Dict[str, float]]:
-    """FLOPs + exec-forced ms per module at a given (batch, chunk, size)."""
+    """FLOPs + floor-corrected exec-forced ms per module."""
     c = model.cfg
     rng = np.random.default_rng(seed)
     frames_u8 = jnp.asarray(rng.integers(
@@ -119,10 +135,11 @@ def module_breakdown(model: GDKVM, params, *, image_size: int = 112,
 
         mods["loss"] = (loss_fn, (lg5, masks, valid))
 
+    floor = _floor_ms(reps)
     out: Dict[str, Dict[str, float]] = {}
     for name, (fn, args) in mods.items():
         flops = _flops_of(fn, *args)
-        ms = _timed(fn, args, reps)
+        ms = max(_timed(fn, args, reps) - floor, 0.0)
         out[name] = {
             "flops_per_call": flops,
             "ms_per_call": round(ms, 4),
@@ -136,7 +153,7 @@ def module_breakdown(model: GDKVM, params, *, image_size: int = 112,
     parts = [n for n in ("encoder", "lkva_gdr", "decoder") if n in out]
     out["_meta"] = {
         "image_size": image_size, "chunk": chunk, "batch": batch,
-        "reps": reps,
+        "reps": reps, "floor_ms_per_rep": round(floor, 4),
         "sum_parts_ms": round(sum(out[n]["ms_per_call"] for n in parts), 4),
         "fusion_gain_ms": round(
             sum(out[n]["ms_per_call"] for n in parts) - full_ms, 4),

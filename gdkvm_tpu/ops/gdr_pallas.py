@@ -343,6 +343,140 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, vb_ref,
         sT_ref[0] = s_new.astype(sT_ref.dtype)
 
 
+def _gdr_chain_kernel(save_states: bool, alpha_ref, q_ref, k_ref, u_ref,
+                      w_ref, s0_ref, *rest):
+    """One (b, t) grid step of the CHAIN kernel: state recurrence only.
+
+    The r2.2 hybrid split (measured rationale): a (B, T) sequential grid
+    serializes every grid step on the single v5e TensorCore, so work done
+    per step should be the *irreducibly sequential* part and nothing else.
+    The per-frame WY solve (A = stril(ηK Kᵀ); U,W = (I+A)⁻¹[βV|ηK]) does
+    NOT depend on the carried state — it is embarrassingly parallel across
+    all B·H·T frames, and XLA computes it as a handful of huge batched
+    matmuls at ~50 TFLOP/s.  The monolithic kernel (``_gdr_kernel``)
+    re-did that solve inside every sequential step: ~60 tiny MXU issues
+    per frame, ~2.5 TFLOP/s.  This kernel consumes the precomputed (U, W)
+    and runs only the 3-matmul affine chain per frame:
+
+        S̃ = α_t S ;   O_t = Q_t S̃ ;   S ← S̃ + K_tᵀ (U_t − W_t S̃)
+
+    ~9 MXU issues per step (bf16x3), and the per-stream VMEM footprint
+    drops ~4× (no (N,N) A block, no unrolled solve temporaries), so
+    ``_chain_batch_group`` folds far more streams per step than the
+    monolithic kernel could.  S stays fp32 in VMEM across the whole T
+    grid, exactly like the monolithic kernel.
+    """
+    if save_states:
+        o_ref, sT_ref, states_ref, s_scr = rest
+    else:
+        o_ref, sT_ref, s_scr = rest
+        states_ref = None
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        s_scr[:] = s0_ref[0].astype(_F32)
+
+    if states_ref is not None:
+        states_ref[0, :, 0] = s_scr[:]       # S_{t-1}, pre-decay
+
+    h = q_ref.shape[1]
+    q = q_ref[0, :, 0].astype(_F32)          # (H, N, dk)
+    k = k_ref[0, :, 0].astype(_F32)          # (H, N, dk)
+    u = u_ref[0, :, 0].astype(_F32)          # (H, N, dv)
+    w = w_ref[0, :, 0].astype(_F32)          # (H, N, dk)
+
+    for i in range(h):
+        s_scr[i] = alpha_ref[b, i, t].astype(_F32) * s_scr[i]
+
+    s_dec = s_scr[:]
+    o = _bdot(q, s_dec)
+    s_new = s_dec + _bdot(k.transpose(0, 2, 1), u - _bdot(w, s_dec))
+    o_ref[0, :, 0] = o.astype(o_ref.dtype)
+    s_scr[:] = s_new
+
+    @pl.when(t == n_t - 1)
+    def _():
+        sT_ref[0] = s_new.astype(sT_ref.dtype)
+
+
+def _gdr_chain_flat(q: jax.Array, k: jax.Array, u: jax.Array, w: jax.Array,
+                    alpha: jax.Array, s0: jax.Array, interpret: bool,
+                    save_states: bool):
+    """Flat (B, H, T, N, d) invocation of the chain kernel (see
+    :func:`_gdr_chain_kernel`).  q, k may be bf16; u, w arrive fp32 from
+    the XLA-side WY solve (kept fp32 through the DMA — a plain bf16 cast
+    would throw away the solve's precision; the kernel's bf16x3 dots keep
+    16 mantissa bits instead)."""
+    b, h, t, n, dk = q.shape
+    dv = u.shape[-1]
+
+    blk = lambda d: pl.BlockSpec((1, h, 1, n, d),
+                                 lambda g, i, *_: (g, 0, i, 0, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, t, n, dv), _F32),
+        jax.ShapeDtypeStruct((b, h, dk, dv), _F32),
+    ]
+    out_specs = [
+        blk(dv),
+        pl.BlockSpec((1, h, dk, dv), lambda g, i, *_: (g, 0, 0, 0)),
+    ]
+    if save_states:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, t, dk, dv), _F32))
+        out_specs.append(
+            pl.BlockSpec((1, h, 1, dk, dv), lambda g, i, *_: (g, 0, i, 0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # alpha table lives in SMEM
+        grid=(b, t),
+        in_specs=[
+            blk(dk),                    # q
+            blk(dk),                    # k
+            blk(dv),                    # u
+            blk(dk),                    # w
+            pl.BlockSpec((1, h, dk, dv), lambda g, i, *_: (g, 0, 0, 0)),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((h, dk, dv), _F32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_gdr_chain_kernel, save_states),
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * t * 3 * n * dk * dv,
+            bytes_accessed=b * h * t * n * (2 * dk + 4 * dk + 8 * dv) * 2,
+            transcendentals=0,
+        ),
+    )(alpha, q, k, u, w, s0)
+
+
+def _chain_batch_group(b: int, h: int, n: int, dk: int, dv: int) -> int:
+    """Streams folded per chain-kernel grid step (VMEM-budgeted).
+
+    Much lighter than the monolithic kernel's footprint: per stream the
+    blocks are q,k,w (N,dk), u,o (N,dv) plus 3 fp32 state temporaries —
+    no (N,N) A matrix and no unrolled solve intermediates.  The same
+    conservative ~4× Mosaic scoped-stack fudge is absorbed by budgeting
+    the raw estimate at 3.5 MB (see ``_batch_group``)."""
+    per_stream = 4.0 * h * (3 * n * dk + 2 * n * dv + 3 * dk * dv)
+    g = max(1, min(b, int(3.5e6 // per_stream)))
+    while b % g:
+        g -= 1
+    return g
+
+
+def _wy_uw_bh(k: jax.Array, v: jax.Array, beta: jax.Array, eta: jax.Array
+              ) -> Tuple[jax.Array, jax.Array]:
+    """All frames' WY solves batched over (B, H, T) in XLA — identical
+    math to the chunked training form (core/gdr.py::gdr_chunked hoists
+    the same solves out of its scan), fp32 HIGHEST throughout."""
+    f = jax.vmap(jax.vmap(jax.vmap(gdr_core._wy_transform)))
+    return f(k, v, beta, eta)
+
+
 def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
                     states_ref, do_ref, dsT_ref,
                     dq_ref, dk_ref, dv_ref, dbeta_ref, deta_ref,
@@ -627,14 +761,50 @@ def gdr_pallas_bh(q, k, v, beta, alpha, s0):
     return gdr_pallas_ew_bh(q, k, v, beta, alpha, s0, beta)
 
 
-def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool):
+# Forward kernel layout: "monolith" (DEFAULT, r2.1 — the WY solve runs
+# inside every sequential grid step) | "chain" (r2.2 experiment — XLA
+# computes the batched per-frame WY solves, the kernel runs only the
+# sequential 3-matmul state chain; see _gdr_chain_kernel).  Measured
+# same-window on v5e (floor-corrected chained-scan timing, 2026-08-18):
+# the monolith wins every shipped shape — e.g. saturated 112² (B=8 T=32
+# N=49) 0.68 ms vs chain 1.22 ms vs XLA chunked 1.27 ms.  The chain's
+# sequential part IS fast; what sinks it is the XLA-side solve: the
+# 16×16 diagonal-block inverses run at 16/128 lane utilization batched
+# over (B·H·T), costing ~1 ms alone — inside the monolith kernel the
+# same math rides the already-loaded VMEM blocks.  Kept as a tested
+# opt-in (the right split on hardware where XLA batches small solves
+# well).  Read ONCE at import like GDKVM_GDR_BWD.
+_FWD_MODE = os.environ.get("GDKVM_GDR_FWD", "monolith")
+if _FWD_MODE not in ("chain", "monolith"):
+    raise ValueError(f"GDKVM_GDR_FWD must be chain|monolith, "
+                     f"got {_FWD_MODE!r}")
+
+
+def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
+                         mode: str | None = None):
     b, h, _, n, dk = q.shape
     dv = v.shape[-1]
-    qf, kf, vbf, kef, af = _flat_inputs_premul(q, k, v, beta, eta, alpha)
-    g = _batch_group(b, h, qf.shape[-2], dk, dv)
-    outs = _gdr_pallas_flat(
-        _group(qf, g), _group(kf, g), _group(vbf, g), _group(kef, g),
-        _group(af, g), _group(s0, g), _interpret(), save_states)
+    if (mode or _FWD_MODE) == "chain":
+        n_pad = max(_round_up(n, 16), 16)
+        qf = _pad_tokens(q, n_pad)
+        kf = _pad_tokens(k, n_pad)
+        # Pad tokens carry β = η = 0 ⇒ their U, W rows are exactly zero
+        # (zero RHS rows propagate through the forward substitution), so
+        # the chain's rank-N writes ignore them — exact no-op pads.
+        bf = _pad_tokens(beta[..., None], n_pad)[..., 0]
+        ef = _pad_tokens(eta[..., None], n_pad)[..., 0]
+        u, w = _wy_uw_bh(kf, _pad_tokens(v, n_pad), bf, ef)
+        g = _chain_batch_group(b, h, n_pad, dk, dv)
+        outs = _gdr_chain_flat(
+            _group(qf, g), _group(kf, g), _group(u, g), _group(w, g),
+            _group(alpha.astype(_F32), g), _group(s0, g), _interpret(),
+            save_states)
+    else:
+        qf, kf, vbf, kef, af = _flat_inputs_premul(q, k, v, beta, eta, alpha)
+        g = _batch_group(b, h, qf.shape[-2], dk, dv)
+        outs = _gdr_pallas_flat(
+            _group(qf, g), _group(kf, g), _group(vbf, g), _group(kef, g),
+            _group(af, g), _group(s0, g), _interpret(), save_states)
     o = _ungroup(outs[0], g)[:, :, :, :n, :]            # (B,H,T,N,dv)
     s_t = _ungroup(outs[1], g)
     states = _ungroup(outs[2], g) if save_states else None

@@ -41,6 +41,7 @@ _SLOW_TESTS = frozenset({
     "test_pallas_fuzz_shapes", "test_pallas_decoupled_gates",
     "test_pallas_fused_bwd_all_grads", "test_pallas_matches_ref",
     "test_pallas_fused_bwd_state_carry_chain", "test_pallas_grad_matches_ref",
+    "test_pallas_chain_mode_matches_ref", "test_pallas_chain_mode_save_states",
     # test_sweep.py
     "test_sweep_grid", "test_sweep_bracket_values_not_swept_and_errors_contained",
     # test_parity.py

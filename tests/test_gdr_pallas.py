@@ -257,3 +257,38 @@ def test_gdr_impl_auto_resolution():
     assert LKVAMemory(gdr_impl="auto")._impl() == "chunked"
     assert LKVAMemory(gdr_impl="pallas")._impl() == "pallas"
     assert LKVAMemory(gdr_impl="chunked")._impl() == "chunked"
+
+
+@pytest.mark.parametrize("T,N,dk,dv", [
+    (4, 7, 16, 16),      # unaligned N → padding path
+    (3, 49, 32, 32),     # EchoNet-like token count (7×7)
+    (2, 16, 16, 32),     # dk != dv
+])
+def test_pallas_chain_mode_matches_ref(T, N, dk, dv):
+    """GDKVM_GDR_FWD=chain (XLA WY solves + sequential chain kernel) ≡ the
+    scan reference.  The mode env var is baked at import, so the chain
+    path is exercised through the impl's explicit mode override."""
+    args = _rand_bh(jax.random.PRNGKey(11), B=2, H=2, T=T, N=N,
+                    dk=dk, dv=dv)
+    q, k, v, beta, alpha, s0 = args
+    o_ref, s_ref = gdr.gdr_ref_bh(*args)
+    o_pl, s_pl, states = gdr_pallas._gdr_pallas_fwd_impl(
+        q, k, v, beta, beta, alpha, s0, save_states=False, mode="chain")
+    assert states is None
+    np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_chain_mode_save_states():
+    """Chain mode with save_states emits the same pre-decay checkpoints
+    the fused backward consumes (parity vs the monolith kernel's)."""
+    q, k, v, beta, alpha, s0 = _rand_bh(jax.random.PRNGKey(12), B=1, H=2,
+                                        T=3, N=8)
+    _, _, st_chain = gdr_pallas._gdr_pallas_fwd_impl(
+        q, k, v, beta, beta, alpha, s0, save_states=True, mode="chain")
+    _, _, st_mono = gdr_pallas._gdr_pallas_fwd_impl(
+        q, k, v, beta, beta, alpha, s0, save_states=True, mode="monolith")
+    np.testing.assert_allclose(np.asarray(st_chain), np.asarray(st_mono),
+                               rtol=1e-5, atol=1e-6)
