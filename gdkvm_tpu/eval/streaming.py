@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gdkvm_tpu.eval.metrics import mask_from_logits
 from gdkvm_tpu.models.gdkvm import GDKVM, StreamState
 
 
@@ -56,7 +57,7 @@ def _jitted_mask_step(model: GDKVM):
             # device array costs a full remote compile per call out here.
             x = frames_u8[None].astype(jnp.float32) / 255.0
             logits, state = model.apply(params, x, state)
-            return jnp.argmax(logits[0], axis=-1).astype(jnp.uint8), state
+            return mask_from_logits(logits[0]), state
         fn = jax.jit(step, donate_argnums=(2,))
         _APPLY_CACHE[key] = fn
     return fn
@@ -75,7 +76,7 @@ def _jitted_mask_step_native(model: GDKVM, out_size: int):
         def step(params, frames_u8, state):
             x = resize_normalize(frames_u8[None], (out_size, out_size))
             logits, state = model.apply(params, x, state)
-            return jnp.argmax(logits[0], axis=-1).astype(jnp.uint8), state
+            return mask_from_logits(logits[0]), state
         fn = jax.jit(step, donate_argnums=(2,))
         _APPLY_CACHE[key] = fn
     return fn
@@ -89,7 +90,7 @@ def _jitted_prompt_step(model: GDKVM):
         def step(params, frames_u8, prompt_mask):
             x = frames_u8[None].astype(jnp.float32) / 255.0
             logits, state = model.apply(params, x, None, prompt_mask[None])
-            return jnp.argmax(logits[0], axis=-1).astype(jnp.uint8), state
+            return mask_from_logits(logits[0]), state
         fn = jax.jit(step)
         _APPLY_CACHE[key] = fn
     return fn
@@ -106,7 +107,7 @@ def _jitted_mask_step_ms(model: GDKVM):
         def step(params, frames_u8, state):
             x = frames_u8.astype(jnp.float32) / 255.0
             logits, state = model.apply(params, x, state)
-            return jnp.argmax(logits, axis=-1).astype(jnp.uint8), state
+            return mask_from_logits(logits), state
         fn = jax.jit(step, donate_argnums=(2,))
         _APPLY_CACHE[key] = fn
     return fn

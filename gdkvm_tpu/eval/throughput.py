@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gdkvm_tpu.eval.metrics import mask_from_logits
 from gdkvm_tpu.models.gdkvm import GDKVM
 
 # bf16 peak of one TPU v5e chip — plausibility ceiling for apparent FLOP/s.
@@ -48,7 +49,7 @@ def measure_streaming_fps(model: GDKVM, params, *, image_size: int = 112,
     def step_fn(params, frames_u8, state):
         x = frames_u8.astype(jnp.float32) / 255.0
         logits, new_state = model.apply(params, x, state)
-        masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        masks = mask_from_logits(logits)
         # 4-byte execution witness: fetching it forces this chunk (and via
         # the state chain, every previous chunk) to really run.
         checksum = jnp.sum(masks.astype(jnp.int32))
@@ -118,7 +119,7 @@ def measure_streaming_latency(model: GDKVM, params, *,
     def step_fn(params, frames_u8, state):
         x = frames_u8.astype(jnp.float32) / 255.0
         logits, new_state = model.apply(params, x, state)
-        masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        masks = mask_from_logits(logits)
         return jnp.sum(masks.astype(jnp.int32)), new_state
 
     step = jax.jit(step_fn)

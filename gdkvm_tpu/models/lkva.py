@@ -162,7 +162,18 @@ class LKVAMemory(nn.Module):
 
         q, k = self._qk(x_tok)                       # (B,T,N,H,dk)
         v = self.v_proj(x_tok)
-        v = v.reshape(b, t, n, h, dv).astype(jnp.float32)
+        v = v.reshape(b, t, n, h, dv)
+        # q/k/v enter the recurrence in COMPUTE dtype (bf16): the GDR core
+        # upcasts and runs all state math in fp32 regardless, so the only
+        # loss is input rounding — the same boundary every other module
+        # lives with — while fp32 operands doubled the kernel's per-step
+        # DMA (measured 0.96 → 0.69 ms at the saturated serving shape,
+        # v5e floor-corrected; quality unchanged on the hard-synth
+        # benchmark, BASELINE.md).  Gates stay fp32: they are tiny and
+        # β/α precision sets the contraction rate.
+        q = q.astype(self.dtype)
+        k = k.astype(self.dtype)
+        v = v.astype(self.dtype)
         beta = nn.sigmoid(self.beta_proj(x_tok).astype(jnp.float32))
         eta = nn.sigmoid(self.eta_proj(x_tok).astype(jnp.float32)) \
             if self.gdr_variant == "gdn2" else None

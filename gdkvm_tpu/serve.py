@@ -71,6 +71,8 @@ class BatchingEngine:
         import jax
         import jax.numpy as jnp
 
+        from gdkvm_tpu.eval.metrics import mask_from_logits
+
         self._jax = jax
         self.streams = streams
         self.chunk = chunk
@@ -114,7 +116,7 @@ class BatchingEngine:
             discarded host-side.
             """
             logits, mem2, seen2 = raw_step(frames_u8, mem, seen)
-            masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            masks = mask_from_logits(logits)
             mem_out = jnp.where(active.reshape((-1,) + (1,) * (mem2.ndim - 1))
                                 > 0, mem2, mem)
             seen_out = jnp.where(active > 0, seen2, seen)
