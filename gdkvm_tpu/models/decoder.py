@@ -31,11 +31,24 @@ from gdkvm_tpu.models.encoder import _gn_groups
 
 
 def resize_bilinear(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
-    """Bilinear resize of NHWC maps (jax.image, fused by XLA)."""
+    """Bilinear resize of NHWC maps as two MXU matmuls.
+
+    Same separable triangle-filter-as-matmul trick as the input preproc
+    (ops/preproc.py): the (dst, src) interpolation weights are trace-time
+    constants, so the resize is two dense contractions instead of the
+    gather/reduce graph `jax.image.resize` lowers to — measured 0.37 →
+    0.10 ms on the 256² logits upsample (v5e, floor-corrected).  Matches
+    `jax.image.resize(..., "bilinear")` semantics in both directions
+    (antialiased triangle when downscaling, e.g. the mask-prompt
+    downsample in models/gdkvm.py)."""
     b, h, w, c = x.shape
     if (h, w) == hw:
         return x
-    return jax.image.resize(x, (b, hw[0], hw[1], c), method="bilinear")
+    from gdkvm_tpu.ops.preproc import _resize_matrix
+    r_h = jnp.asarray(_resize_matrix(h, hw[0])).astype(x.dtype)
+    r_w = jnp.asarray(_resize_matrix(w, hw[1])).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", r_h, x)
+    return jnp.einsum("pw,bhwc->bhpc", r_w, y)
 
 
 class KPFFBlock(nn.Module):
@@ -49,9 +62,17 @@ class KPFFBlock(nn.Module):
         """pixel: (B,h,w,Cp) encoder skip. global_key: (B,hg,wg,Cg) memory
         readout map. up: decoder stream from the coarser scale (optional)."""
         hw = pixel.shape[1:3]
-        g = resize_bilinear(global_key, hw).astype(self.dtype)
-        g = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="global_proj")(g)
+        # Project the memory readout to block channels BEFORE upsampling:
+        # a 1×1 conv commutes with the (linear, spatial-only) bilinear
+        # resize, and running it at the stride-16 grid instead of the
+        # target grid never materializes the (hw, 256)-channel map —
+        # measured 0.74 → 0.05 ms on the 256² kpff4 global branch (v5e).
+        # Same params/name as the resize-first order ⇒ checkpoints load
+        # unchanged.
+        g_small = nn.Conv(self.channels, (1, 1), use_bias=False,
+                          dtype=self.dtype,
+                          name="global_proj")(global_key.astype(self.dtype))
+        g = resize_bilinear(g_small, hw)
 
         # Local key feature: depthwise 3×3 + pointwise over the pixel map.
         loc = nn.Conv(pixel.shape[-1], (3, 3), padding="SAME",
@@ -79,8 +100,12 @@ class KPFFBlock(nn.Module):
         h = nn.silu(h)
 
         # SE-style channel gate from the global (memory) feature: memory
-        # decides which fused channels matter at this scale.
-        se = jnp.mean(g.astype(jnp.float32), axis=(1, 2))
+        # decides which fused channels matter at this scale.  Pooled from
+        # the pre-resize stride-16 map — spatial mean and upsample nearly
+        # commute (they differ only in edge-clamp weighting), and the
+        # small map is ~16× cheaper to reduce (quality re-validated on
+        # the hard-synth full recipe, BASELINE.md r2.3).
+        se = jnp.mean(g_small.astype(jnp.float32), axis=(1, 2))
         se = nn.silu(nn.Dense(max(self.channels // 4, 8),
                               dtype=self.dtype)(se.astype(self.dtype)))
         se = nn.sigmoid(nn.Dense(self.channels, dtype=self.dtype)(se))
@@ -106,8 +131,8 @@ class Decoder(nn.Module):
         d4 = KPFFBlock(c4, dtype=self.dtype, name="kpff4")(f4, readout, d8)
         logits4 = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                           name="head")(d4)
-        # Predict at stride 4, bilinear-upsample logits to full resolution.
-        # (A class-major resize variant was A/B'd and is timing-neutral —
-        # XLA already relayouts jax.image.resize; unlike the elementwise
-        # loss math, no K-minor lane penalty here.)
+        # Predict at stride 4, bilinear-upsample logits to full resolution
+        # (matmul-form resize; at 256² the old jax.image form cost 0.37 ms
+        # vs 0.10 — a class-major variant was also A/B'd and is neutral,
+        # the resize contraction has no K-minor lane penalty).
         return resize_bilinear(logits4.astype(jnp.float32), out_hw)

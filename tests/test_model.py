@@ -141,3 +141,21 @@ def test_space_to_depth_layout():
     # Patch (0,0) of batch 0: channels are the 4×4×3 patch row-major.
     patch = x[0, :4, :4, :].reshape(-1)
     np.testing.assert_array_equal(y[0, 0, 0], patch)
+
+
+def test_resize_bilinear_matches_jax_image():
+    """The matmul-form resize (two MXU contractions, trace-time constant
+    weights) must reproduce jax.image.resize bilinear semantics in both
+    directions — upsampling (decoder/logits) and antialiased downscaling
+    (mask-prompt to stride 16, models/gdkvm.py)."""
+    import numpy as np
+    from gdkvm_tpu.models.decoder import resize_bilinear
+
+    rng = np.random.default_rng(0)
+    for h, w, hw in [(7, 7, (28, 28)), (16, 16, (64, 64)),
+                     (112, 112, (7, 7)), (10, 14, (31, 9))]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+        a = resize_bilinear(x, hw)
+        b = jax.image.resize(x, (2, hw[0], hw[1], 3), method="bilinear")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
