@@ -165,3 +165,18 @@ def test_stream_evaluate_consistency(tmp_path):
                           consistency=True)
     assert 0.0 <= out["flicker_rate"] <= 1.0
     assert 0.0 <= out["temporal_fg_iou"] <= 1.0
+
+
+@pytest.mark.quick
+def test_mask_from_logits_matches_argmax():
+    """Class-major mask extraction (the hot-path form) ≡ argmax(-1)."""
+    import numpy as np
+    from gdkvm_tpu.eval.metrics import mask_from_logits
+
+    rng = np.random.default_rng(0)
+    for shape in [(3, 4, 8, 8, 2), (2, 8, 8, 4), (5, 6, 7, 3)]:
+        lg = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        a = np.asarray(mask_from_logits(lg))
+        b = np.asarray(jnp.argmax(lg, axis=-1)).astype(np.uint8)
+        np.testing.assert_array_equal(a, b)
+        assert a.dtype == np.uint8
