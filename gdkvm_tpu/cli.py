@@ -108,9 +108,9 @@ def cmd_bench(argv) -> int:
         from gdkvm_tpu.models.gdkvm import train_model_config
         from gdkvm_tpu.train.loop import create_train_state, \
             make_optimizer, make_train_step
-        model = GDKVM(cfg=train_model_config(cfg.model))
-        tx = make_optimizer(cfg)
         cfg.data.image_size = args.image_size
+        model = GDKVM(cfg=train_model_config(cfg.model, args.image_size))
+        tx = make_optimizer(cfg)
         state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
         b, t = cfg.train.batch_size, cfg.data.clip_len
         rng = np.random.default_rng(0)

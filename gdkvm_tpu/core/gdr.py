@@ -202,6 +202,44 @@ def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
     return jnp.concatenate(blocks, axis=0)[:n]
 
 
+def _solve_unit_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Y = (I + A)^{-T} RHS for strictly-lower-triangular A (fp32).
+
+    The TRANSPOSED system (unit upper triangular) by blocked BACKWARD
+    substitution from the last block row — the adjoint of
+    :func:`_solve_unit_lower`, used by the stored-solve backward of the
+    Pallas GDR path (ops/gdr_pallas.py::_bwd_stored).  Mirrors the
+    in-kernel ``_solve_lower_t``.  Shapes: a (N,N), rhs (N,M).
+    """
+    n = a.shape[0]
+    bs = min(_BLOCK, n)
+    if n % bs:
+        pad = bs - n % bs
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
+    nb = a.shape[0] // bs
+    eye = jnp.eye(bs, dtype=jnp.float32)
+
+    def inv_diag(a_ii):
+        b_pow = -a_ii
+        p = eye + b_pow
+        for _ in range(max(int(bs - 1).bit_length() - 1, 0)):
+            b_pow = _mm(b_pow, b_pow)
+            p = p + _mm(b_pow, p)
+        return p
+
+    blocks = []                             # stored last-block-first
+    for j in range(nb - 1, -1, -1):
+        r_j = rhs[j * bs:(j + 1) * bs]
+        if blocks:
+            y_below = jnp.concatenate(blocks[::-1], axis=0)
+            a_below = a[(j + 1) * bs:, j * bs:(j + 1) * bs]
+            r_j = r_j - _mm(a_below.T, y_below)
+        a_jj = jnp.tril(a[j * bs:(j + 1) * bs, j * bs:(j + 1) * bs], k=-1)
+        blocks.append(_mm(inv_diag(a_jj).T, r_j))
+    return jnp.concatenate(blocks[::-1], axis=0)[:n]
+
+
 def gdr_frame_chunked(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,
                       beta: jax.Array, alpha: jax.Array,
                       eta: jax.Array | None = None

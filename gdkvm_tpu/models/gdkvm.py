@@ -146,16 +146,29 @@ def create_model(cfg: ModelConfig) -> GDKVM:
     return GDKVM(cfg=cfg)
 
 
-def train_model_config(cfg: ModelConfig) -> ModelConfig:
-    """Resolve gdr_impl='auto' for a TRAINING trace: the pure-XLA chunked
-    form.  Under grad, XLA stores the forward's per-frame WY solves and
-    reuses them in the backward, while the Pallas kernel's recompute-vjp
-    performs them twice — measured 0.73-1.0× (pallas/xla) at every shape
-    on v5e with chained exec-forced timing (BASELINE.md GDR gradient
-    table).  Inference traces keep 'auto' → pallas, which wins there.
+def train_model_config(cfg: ModelConfig,
+                       image_size: int | None = None) -> ModelConfig:
+    """Resolve gdr_impl='auto' for a TRAINING trace, by token count.
+
+    Under grad the contenders are (a) pure-XLA chunked (XLA's AD stores
+    the forward's WY solves) and (b) the Pallas kernel forward with the
+    stored-solve hand adjoint (GDKVM_GDR_BWD=stored — the kernel streams
+    its solves and state checkpoints; ops/gdr_pallas.py::_bwd_stored).
+    Measured on v5e (floor-corrected, BASELINE.md r2.5): at the CAMUS
+    256² shape (N=256 memory tokens) the stored kernel path is **1.78×
+    faster AND 170× closer to the scan-reference gradient** (XLA's AD
+    through the blocked substitution loses ~3 digits at large N with
+    correlated keys); at EchoNet scale (N=49) the two tie (0.95-1.02×),
+    so the simpler XLA form keeps that regime.  The cut: keep 'auto'
+    (→ Pallas on accelerators, chunked on CPU) when the stride-16 token
+    count reaches 128, else resolve 'chunked'.  Inference traces always
+    keep 'auto' → pallas, which wins everywhere there.
     """
     import dataclasses
     if cfg.gdr_impl == "auto":
+        n_tokens = None if image_size is None else (image_size // 16) ** 2
+        if n_tokens is not None and n_tokens >= 128:
+            return cfg                     # 'auto': pallas on TPU, stored bwd
         return dataclasses.replace(cfg, gdr_impl="chunked")
     return cfg
 

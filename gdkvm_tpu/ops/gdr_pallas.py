@@ -43,14 +43,18 @@ everything behind the carry.  The fused kernel is kept (parity-tested both
 modes) for the record and for future megacore-style hardware where grid
 steps overlap.
 
-**For TRAINING, however, pure XLA beats even Pallas-fwd+XLA-bwd at every
-shape** (r2 scan-chained measurement, BASELINE.md GDR gradient crossover):
-under grad XLA stores the forward's solves and reuses them in the
-backward, while this custom_vjp recompute path performs them twice.
-``gdr_impl: auto`` therefore resolves to the XLA chunked form for training
-traces (models.gdkvm.train_model_config) and to this kernel for inference
-traces, where its transpose-free forward wins or ties everywhere
-(0.99-1.97×, BASELINE.md).
+**For TRAINING the story is shape-dependent (r2.5, floor-corrected).**
+XLA's chunked AD stores the forward's solves, which beats the
+recompute-vjp — but the ``stored`` backward mode (default) has the
+kernel stream its solves and state checkpoints to HBM and applies the
+hand-derived adjoint in XLA, batched over all frames: at the CAMUS 256²
+shape it is **1.78× faster than pure-XLA chunked AD and 170× closer to
+the scan-reference gradient** (XLA's AD *through* the blocked
+substitution loses ~3 digits at N=256 with correlated keys; the
+explicit (I+A)^{-T} solve does not).  At EchoNet scale (N=49) the two
+tie, so training traces resolve 'auto' by token count
+(models.gdkvm.train_model_config).  Inference traces keep this kernel
+everywhere (1.7-3.7×, BASELINE.md).
 
 Adjoint derivation (per head; g = dS_new, upper-case = matrices):
 
@@ -215,7 +219,8 @@ def _solve_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
 
 
 def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, vb: jax.Array,
-                ke: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                ke: jax.Array) -> Tuple[jax.Array, jax.Array,
+                                        jax.Array, jax.Array]:
     """One frame's read+write on VALUES (not refs) — forward kernel body.
 
     Decoupled gates (GDN-2 lineage, core/gdr.py derivation): β is the
@@ -230,7 +235,9 @@ def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, vb: jax.Array,
     DMA per block) and forced XLA relayout copies at the call boundary.
 
     Args (all fp32): s_dec (H,dk,dv) decayed state S̃; q,k,ke (H,N,dk);
-    vb (H,N,dv).  Returns (s_new (H,dk,dv), o (H,N,dv)).
+    vb (H,N,dv).  Returns (s_new (H,dk,dv), o (H,N,dv), u (H,N,dv),
+    w (H,N,dk)) — u/w are the frame's WY solve, optionally streamed out
+    as the stored-solve backward's residuals.
     """
     # LKVA read against the decayed pre-write state.
     o = _bdot(q, s_dec)
@@ -244,7 +251,7 @@ def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, vb: jax.Array,
 
     # Fused N-token delta-rule write.
     s_new = s_dec + _bdot(k.transpose(0, 2, 1), u - _bdot(w, s_dec))
-    return s_new, o
+    return s_new, o, u, w
 
 
 def _frame_adjoint(s_dec, q, k, v, beta2, eta2, g, do):
@@ -287,8 +294,8 @@ def _frame_adjoint(s_dec, q, k, v, beta2, eta2, g, do):
     return ds_dec, dq, dk_out, dv_out, dbeta2, deta2
 
 
-def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, vb_ref,
-                ke_ref, s0_ref, *rest):
+def _gdr_kernel(save_states: bool, save_uw: bool, alpha_ref, q_ref, k_ref,
+                vb_ref, ke_ref, s0_ref, *rest):
     """One (b, t) grid step: advance all H heads' states one frame.
 
     Operands arrive in the model's native (B, H, T, N, d) layout — the
@@ -306,11 +313,15 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, vb_ref,
     With ``save_states`` the pre-decay state S_{t-1} is also streamed out
     per frame (the backward kernel's checkpoints).
     """
+    rest = list(rest)
+    o_ref, sT_ref = rest[0], rest[1]
+    idx = 2
+    states_ref = u_ref = w_ref = None
     if save_states:
-        o_ref, sT_ref, states_ref, s_scr = rest
-    else:
-        o_ref, sT_ref, s_scr = rest
-        states_ref = None
+        states_ref = rest[idx]; idx += 1
+    if save_uw:
+        u_ref, w_ref = rest[idx], rest[idx + 1]; idx += 2
+    s_scr = rest[idx]
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -334,8 +345,11 @@ def _gdr_kernel(save_states: bool, alpha_ref, q_ref, k_ref, vb_ref,
     for i in range(h):
         s_scr[i] = alpha_ref[b, i, t].astype(_F32) * s_scr[i]
 
-    s_new, o = _frame_math(s_scr[:], q, k, vb, ke)
+    s_new, o, u, w = _frame_math(s_scr[:], q, k, vb, ke)
     o_ref[0, :, 0] = o.astype(o_ref.dtype)
+    if u_ref is not None:
+        u_ref[0, :, 0] = u                  # fp32 WY solve, per frame
+        w_ref[0, :, 0] = w
     s_scr[:] = s_new
 
     @pl.when(t == n_t - 1)
@@ -537,7 +551,8 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
 
 def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
                      ke: jax.Array, alpha: jax.Array,
-                     s0: jax.Array, interpret: bool, save_states: bool):
+                     s0: jax.Array, interpret: bool, save_states: bool,
+                     save_uw: bool = False):
     """Flat (B, H, T, N, d) invocation — the API layout, consumed directly.
     N must be pre-padded (vb=ke=0 on pads ⇒ exact no-op writes); gate
     premultiplies (vb = β⊙V, ke = η⊙K) happen in XLA before the call.
@@ -564,6 +579,10 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
         out_shape.append(jax.ShapeDtypeStruct((b, h, t, dk, dv), _F32))
         out_specs.append(
             pl.BlockSpec((1, h, 1, dk, dv), lambda g, i, *_: (g, 0, i, 0, 0)))
+    if save_uw:
+        out_shape += [jax.ShapeDtypeStruct((b, h, t, n, dv), _F32),
+                      jax.ShapeDtypeStruct((b, h, t, n, dk), _F32)]
+        out_specs += [blk(dv), blk(dk)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # alpha table lives in SMEM
         grid=(b, t),
@@ -578,7 +597,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
         scratch_shapes=[pltpu.VMEM((h, dk, dv), _F32)],
     )
     return pl.pallas_call(
-        functools.partial(_gdr_kernel, save_states),
+        functools.partial(_gdr_kernel, save_states, save_uw),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
@@ -659,7 +678,8 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
     )(alpha, q, k, v, beta2, eta2, states, do, dsT)
 
 
-def _batch_group(b: int, h: int, n: int, dk: int, dv: int) -> int:
+def _batch_group(b: int, h: int, n: int, dk: int, dv: int,
+                 save_uw: bool = False) -> int:
     """Streams folded into one grid step (VMEM-budgeted).
 
     The time grid is sequential by nature, but batch elements are
@@ -676,6 +696,9 @@ def _batch_group(b: int, h: int, n: int, dk: int, dv: int) -> int:
                             + n * n                            # A = KKᵀ tril
                             + 2 * n * (dk + dv)                # rhs + solve
                             + 3 * dk * dv)                     # S, S̃, S'
+    if save_uw:
+        # Two extra double-buffered fp32 output blocks per step (U, W).
+        per_stream += 4.0 * h * 2 * n * (dk + dv)
     # Mosaic's scoped-VMEM stack measures ~4× this estimate (double-buffered
     # operand/output blocks + live unrolled solve temporaries): 24.56 MB at
     # g=8, H=4, N=64, d=64 ⇒ ~3.07 MB/stream vs 0.79 estimated.  Budget the
@@ -747,8 +770,8 @@ def gdr_pallas_ew_bh(q, k, v, beta, alpha, s0, eta):
     beta, eta (B,H,T,N); alpha (B,H,T); s0 (B,H,dk,dv).
     Returns (o (B,H,T,N,dv) fp32, s_T (B,H,dk,dv) fp32).
     """
-    o, s_t, _ = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
-                                     save_states=False)
+    o, s_t, _, _ = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
+                                        save_states=False)
     return o, s_t
 
 
@@ -781,7 +804,10 @@ if _FWD_MODE not in ("chain", "monolith"):
 
 
 def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
-                         mode: str | None = None):
+                         mode: str | None = None, save_uw: bool = False):
+    """Returns (o, s_T, states, uw): states is None unless save_states;
+    uw is None unless save_uw, else the PADDED fp32 (U, W) per frame —
+    the stored-solve backward's residuals."""
     b, h, _, n, dk = q.shape
     dv = v.shape[-1]
     if (mode or _FWD_MODE) == "chain":
@@ -799,42 +825,148 @@ def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
             _group(qf, g), _group(kf, g), _group(u, g), _group(w, g),
             _group(alpha.astype(_F32), g), _group(s0, g), _interpret(),
             save_states)
+        uw = (u, w) if save_uw else None
     else:
         qf, kf, vbf, kef, af = _flat_inputs_premul(q, k, v, beta, eta, alpha)
-        g = _batch_group(b, h, qf.shape[-2], dk, dv)
+        g = _batch_group(b, h, qf.shape[-2], dk, dv, save_uw)
         outs = _gdr_pallas_flat(
             _group(qf, g), _group(kf, g), _group(vbf, g), _group(kef, g),
-            _group(af, g), _group(s0, g), _interpret(), save_states)
+            _group(af, g), _group(s0, g), _interpret(), save_states,
+            save_uw)
+        uw = (tuple(_ungroup(x, g) for x in outs[-2:])
+              if save_uw else None)
     o = _ungroup(outs[0], g)[:, :, :, :n, :]            # (B,H,T,N,dv)
     s_t = _ungroup(outs[1], g)
     states = _ungroup(outs[2], g) if save_states else None
-    return o, s_t, states
+    return o, s_t, states, uw
 
 
 def _fwd(q, k, v, beta, alpha, s0, eta):
-    if _bwd_mode() == "recompute":
-        o, s_t, _ = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
-                                         save_states=False)
-        return (o, s_t), (q, k, v, beta, alpha, s0, eta, None)
-    o, s_t, states = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
-                                          save_states=True)
-    return (o, s_t), (q, k, v, beta, alpha, s0, eta, states)
+    mode = _bwd_mode()
+    if mode == "recompute":
+        o, s_t, _, _ = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
+                                            save_states=False)
+        return (o, s_t), (q, k, v, beta, alpha, s0, eta, None, None)
+    if mode == "stored":
+        o, s_t, states, uw = _gdr_pallas_fwd_impl(
+            q, k, v, beta, eta, alpha, s0, save_states=True, save_uw=True)
+        return (o, s_t), (q, k, v, beta, alpha, s0, eta, states, uw)
+    o, s_t, states, _ = _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0,
+                                             save_states=True)
+    return (o, s_t), (q, k, v, beta, alpha, s0, eta, states, None)
 
 
-# "recompute" (XLA chunked form — measured fastest, see module docstring)
-# | "fused" (reverse-scan Pallas kernel).  Read ONCE at import: the mode is
-# baked into each jitted trace (residual structure differs), so a later env
-# change could never affect already-compiled shapes anyway — set it before
-# importing gdkvm_tpu.
-_BWD_MODE = os.environ.get("GDKVM_GDR_BWD", "recompute")
-
-
+# Backward mode for the Pallas GDR custom_vjp:
+#   "stored"    (DEFAULT) — the forward kernel additionally streams each
+#               frame's WY solve [U|W] and pre-decay state to HBM; the
+#               backward applies the hand-derived adjoint in XLA, batched
+#               over all frames, with only the tiny dS chain sequential
+#               (_bwd_stored).  This is what made the kernel the TRAINING
+#               default: it beats pure-XLA chunked AD at every measured
+#               training shape (BASELINE.md r2.5).
+#   "recompute" — forward-only kernel; backward = jax.vjp through the
+#               mathematically-identical XLA chunked form (re-does the
+#               forward solves).
+#   "fused"     — reverse-scan Pallas kernel (kept for the record; a
+#               single sequential kernel serializes the per-frame adjoint
+#               work that XLA batches).
+# Read at TRACE time: toggling the env var affects newly traced shapes
+# only — already-jitted callables keep the mode they were traced with
+# (the residual structure is baked per trace).
 def _bwd_mode() -> str:
-    return _BWD_MODE
+    mode = os.environ.get("GDKVM_GDR_BWD", "stored")
+    if mode not in ("stored", "recompute", "fused"):
+        raise ValueError(f"GDKVM_GDR_BWD must be stored|recompute|fused, "
+                         f"got {mode!r}")
+    return mode
+
+
+def _tril_mask5(a: jax.Array) -> jax.Array:
+    """Zero on/above the diagonal of (..., N, N)."""
+    n = a.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(row > col, a, 0.0)
+
+
+def _bwd_stored(residuals, cotangents):
+    """Stored-solve backward: the hand-derived per-frame adjoint (module
+    docstring), evaluated in XLA batched over ALL (B,H,T) frames using the
+    forward kernel's streamed residuals — S_{t-1} checkpoints and the WY
+    solves X=[U|W] — so no solve is ever recomputed; only one NEW
+    triangular machine runs, Y=(I+A)^{-T}dX (batched
+    core.gdr._solve_unit_lower_t).  The only sequential piece is the dS
+    carry chain: a lax.scan whose body is two small matmuls.
+
+    Rationale (measured, BASELINE.md r2.5): pure-XLA chunked AD wins over
+    recompute-vjp because it stores the forward solves; this path stores
+    them too but gets the forward at kernel speed — beating both.
+    """
+    q, k, v, beta, alpha, s0, eta, states, (u, w) = residuals
+    do, dsT = cotangents
+    b, h, t, n, dk = q.shape
+    dv = v.shape[-1]
+    n_pad = u.shape[-2]
+    qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
+    dof = _pad_tokens(do.astype(_F32), n_pad)
+    q32, k32, v32 = (x.astype(_F32) for x in (qf, kf, vf))
+    b2 = bf.astype(_F32)[..., None]
+    e2 = ef.astype(_F32)[..., None]
+    ke = k32 * e2
+    hp = functools.partial(jnp.einsum,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    sdec = af[..., None, None] * states              # S̃_t (B,H,T,dk,dv)
+    qdo = hp("bhtnk,bhtnv->bhtkv", q32, dof)         # Qᵀdo, batched
+
+    # Reverse dS chain (the only sequential piece): carry g = dS_t.
+    tm = lambda x: jnp.moveaxis(x, 2, 0)             # (T, B, H, ...)
+
+    def chain(g, xs):
+        k_t, w_t, qdo_t, a_t = xs
+        kg = hp("bhnk,bhkv->bhnv", k_t, g)
+        ds_dec = g + qdo_t - hp("bhnk,bhnv->bhkv", w_t, kg)
+        return a_t[..., None, None] * ds_dec, (kg, ds_dec, g)
+
+    xs = (tm(k32)[::-1], tm(w)[::-1], tm(qdo)[::-1],
+          jnp.moveaxis(af, 2, 0)[::-1])
+    ds0, (kg_r, dsdec_r, g_r) = jax.lax.scan(chain, dsT.astype(_F32), xs)
+    um = lambda x: jnp.moveaxis(x[::-1], 0, 2)       # back to (B,H,T,...)
+    kg = um(kg_r)
+    ds_dec = um(dsdec_r)
+    g = um(g_r)                                      # dS_t per frame
+
+    # Batched adjoint over all frames.
+    a_mat = _tril_mask5(hp("bhtnk,bhtmk->bhtnm", ke, k32))
+    x = jnp.concatenate([u, w], axis=-1)             # (B,H,T,np,dv+dk)
+    dx = jnp.concatenate(
+        [kg, -hp("bhtnv,bhtkv->bhtnk", kg, sdec)], axis=-1)
+    solve_t = jax.vmap(jax.vmap(jax.vmap(gdr_core._solve_unit_lower_t)))
+    y = solve_t(a_mat, dx)
+    da = -_tril_mask5(hp("bhtnf,bhtmf->bhtnm", y, x))
+    y_v = y[..., :dv]
+    y_k = y[..., dv:]
+    m = u - hp("bhtnk,bhtkv->bhtnv", w, sdec)
+    dke = hp("bhtnm,bhtmk->bhtnk", da, k32) + y_k
+    dk_out = (hp("bhtnv,bhtkv->bhtnk", m, g)
+              + hp("bhtmn,bhtmk->bhtnk", da, ke) + e2 * dke)
+    dq_out = hp("bhtnv,bhtkv->bhtnk", dof, sdec)
+    dv_out = b2 * y_v
+    dbeta = jnp.sum(y_v * v32, axis=-1)
+    deta = jnp.sum(dke * k32, axis=-1)
+    dalpha = jnp.sum(ds_dec * states, axis=(-2, -1))
+
+    unpad = lambda z: z[:, :, :, :n]
+    return (unpad(dq_out).astype(q.dtype), unpad(dk_out).astype(k.dtype),
+            unpad(dv_out).astype(v.dtype), unpad(dbeta).astype(beta.dtype),
+            dalpha.astype(alpha.dtype), ds0.astype(s0.dtype),
+            unpad(deta).astype(eta.dtype))
 
 
 def _bwd(residuals, cotangents):
-    q, k, v, beta, alpha, s0, eta, states = residuals
+    q, k, v, beta, alpha, s0, eta, states, uw = residuals
+    if uw is not None:
+        return _bwd_stored(residuals, cotangents)
     if states is None:
         # Backward through the mathematically-identical pure-JAX chunked
         # form (XLA-compiled; recompute-in-backward, kernel forward-only).

@@ -225,10 +225,11 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
 
     if mesh is None:
         mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
-    # Training resolution of gdr_impl='auto' → chunked (XLA keeps the
-    # forward's solves for the backward; see models.gdkvm.train_model_config).
+    # Training resolution of gdr_impl='auto' by memory-token count (see
+    # models.gdkvm.train_model_config: stored-solve Pallas path at 256²
+    # scale, XLA chunked at EchoNet scale).
     from gdkvm_tpu.models.gdkvm import train_model_config
-    model = GDKVM(cfg=train_model_config(cfg.model))
+    model = GDKVM(cfg=train_model_config(cfg.model, cfg.data.image_size))
     tx = make_optimizer(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
 

@@ -71,7 +71,7 @@ def test_pallas_streaming_state_carry():
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["fused", "recompute"])
+@pytest.mark.parametrize("mode", ["fused", "recompute", "stored"])
 def test_pallas_grad_matches_ref(mode, monkeypatch):
     """Custom VJP (fused reverse-scan kernel / recompute fallback) ≈ grads
     of the scan reference."""
@@ -209,7 +209,7 @@ def test_pallas_fuzz_shapes(monkeypatch):
                                        err_msg=f"bwd trial {trial}")
 
 
-@pytest.mark.parametrize("mode", ["fused", "recompute"])
+@pytest.mark.parametrize("mode", ["fused", "recompute", "stored"])
 def test_pallas_decoupled_gates(mode, monkeypatch):
     """Decoupled erase/write kernel (gdr_pallas_ew_bh): forward + all
     gradients ≡ the scan reference with independent η, and the coupled
@@ -272,9 +272,9 @@ def test_pallas_chain_mode_matches_ref(T, N, dk, dv):
                     dk=dk, dv=dv)
     q, k, v, beta, alpha, s0 = args
     o_ref, s_ref = gdr.gdr_ref_bh(*args)
-    o_pl, s_pl, states = gdr_pallas._gdr_pallas_fwd_impl(
+    o_pl, s_pl, states, uw = gdr_pallas._gdr_pallas_fwd_impl(
         q, k, v, beta, beta, alpha, s0, save_states=False, mode="chain")
-    assert states is None
+    assert states is None and uw is None
     np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref),
@@ -286,9 +286,9 @@ def test_pallas_chain_mode_save_states():
     the fused backward consumes (parity vs the monolith kernel's)."""
     q, k, v, beta, alpha, s0 = _rand_bh(jax.random.PRNGKey(12), B=1, H=2,
                                         T=3, N=8)
-    _, _, st_chain = gdr_pallas._gdr_pallas_fwd_impl(
+    _, _, st_chain, _ = gdr_pallas._gdr_pallas_fwd_impl(
         q, k, v, beta, beta, alpha, s0, save_states=True, mode="chain")
-    _, _, st_mono = gdr_pallas._gdr_pallas_fwd_impl(
+    _, _, st_mono, _ = gdr_pallas._gdr_pallas_fwd_impl(
         q, k, v, beta, beta, alpha, s0, save_states=True, mode="monolith")
     np.testing.assert_allclose(np.asarray(st_chain), np.asarray(st_mono),
                                rtol=1e-5, atol=1e-6)
