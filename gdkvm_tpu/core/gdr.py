@@ -165,6 +165,31 @@ def _wy_transform(k: jax.Array, v: jax.Array, beta: jax.Array,
 _BLOCK = 16
 
 
+def _pad_to_block(a: jax.Array, rhs: jax.Array):
+    """Pad (N,N)/(N,M) to the _BLOCK multiple (zero rows/cols are exact
+    no-ops for both the forward and transposed substitutions)."""
+    n = a.shape[0]
+    bs = min(_BLOCK, n)
+    if n % bs:
+        pad = bs - n % bs
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
+    return a, rhs, bs
+
+
+def _inv_diag_block(a_ii: jax.Array, bs: int) -> jax.Array:
+    """(I + a_ii)^{-1} for a strictly-lower bs×bs block: exact nilpotent
+    series by doubling (growth-bounded at bs ≤ 16 — see _BLOCK note).
+    Shared by the forward and transposed blocked substitutions so a
+    numerics change can never make them diverge."""
+    b_pow = -a_ii
+    p = jnp.eye(bs, dtype=jnp.float32) + b_pow
+    for _ in range(max(int(bs - 1).bit_length() - 1, 0)):
+        b_pow = _mm(b_pow, b_pow)
+        p = p + _mm(b_pow, p)
+    return p
+
+
 def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
     """X = (I + A)^{-1} RHS for strictly-lower-triangular A (fp32).
 
@@ -174,22 +199,8 @@ def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
     HLO, which compiles poorly on TPU).  Shapes: a (N,N), rhs (N,M).
     """
     n = a.shape[0]
-    bs = min(_BLOCK, n)
-    if n % bs:
-        pad = bs - n % bs
-        a = jnp.pad(a, ((0, pad), (0, pad)))
-        rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
+    a, rhs, bs = _pad_to_block(a, rhs)
     nb = a.shape[0] // bs
-    eye = jnp.eye(bs, dtype=jnp.float32)
-
-    def inv_diag(a_ii):
-        # (I + a_ii)^{-1}, a_ii strictly lower bs×bs: series doubling.
-        b_pow = -a_ii
-        p = eye + b_pow
-        for _ in range(max(int(bs - 1).bit_length() - 1, 0)):
-            b_pow = _mm(b_pow, b_pow)
-            p = p + _mm(b_pow, p)
-        return p
 
     blocks = []
     for i in range(nb):
@@ -198,7 +209,7 @@ def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
             x_prev = jnp.concatenate(blocks, axis=0)
             r_i = r_i - _mm(a[i * bs:(i + 1) * bs, : i * bs], x_prev)
         a_ii = jnp.tril(a[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs], k=-1)
-        blocks.append(_mm(inv_diag(a_ii), r_i))
+        blocks.append(_mm(_inv_diag_block(a_ii, bs), r_i))
     return jnp.concatenate(blocks, axis=0)[:n]
 
 
@@ -212,21 +223,8 @@ def _solve_unit_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
     in-kernel ``_solve_lower_t``.  Shapes: a (N,N), rhs (N,M).
     """
     n = a.shape[0]
-    bs = min(_BLOCK, n)
-    if n % bs:
-        pad = bs - n % bs
-        a = jnp.pad(a, ((0, pad), (0, pad)))
-        rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
+    a, rhs, bs = _pad_to_block(a, rhs)
     nb = a.shape[0] // bs
-    eye = jnp.eye(bs, dtype=jnp.float32)
-
-    def inv_diag(a_ii):
-        b_pow = -a_ii
-        p = eye + b_pow
-        for _ in range(max(int(bs - 1).bit_length() - 1, 0)):
-            b_pow = _mm(b_pow, b_pow)
-            p = p + _mm(b_pow, p)
-        return p
 
     blocks = []                             # stored last-block-first
     for j in range(nb - 1, -1, -1):
@@ -236,7 +234,7 @@ def _solve_unit_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
             a_below = a[(j + 1) * bs:, j * bs:(j + 1) * bs]
             r_j = r_j - _mm(a_below.T, y_below)
         a_jj = jnp.tril(a[j * bs:(j + 1) * bs, j * bs:(j + 1) * bs], k=-1)
-        blocks.append(_mm(inv_diag(a_jj).T, r_j))
+        blocks.append(_mm(_inv_diag_block(a_jj, bs).T, r_j))
     return jnp.concatenate(blocks[::-1], axis=0)[:n]
 
 

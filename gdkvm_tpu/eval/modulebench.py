@@ -143,8 +143,10 @@ def module_breakdown(model: GDKVM, params, *, image_size: int = 112,
         out[name] = {
             "flops_per_call": flops,
             "ms_per_call": round(ms, 4),
+            # ms clamps to 0.0 when a tiny module times at/below the
+            # measured floor (RTT noise) — report NaN, not a crash.
             "tflops_per_sec": round(flops / (ms * 1e-3) / 1e12, 2)
-            if np.isfinite(flops) else float("nan"),
+            if np.isfinite(flops) and ms > 0 else float("nan"),
         }
     full_ms = out["full_model"]["ms_per_call"]
     for name, row in out.items():

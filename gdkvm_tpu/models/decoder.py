@@ -47,8 +47,14 @@ def resize_bilinear(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
     from gdkvm_tpu.ops.preproc import _resize_matrix
     r_h = jnp.asarray(_resize_matrix(h, hw[0])).astype(x.dtype)
     r_w = jnp.asarray(_resize_matrix(w, hw[1])).astype(x.dtype)
-    y = jnp.einsum("oh,bhwc->bowc", r_h, x)
-    return jnp.einsum("pw,bhwc->bhpc", r_w, y)
+    # fp32 inputs (logits upsample, mask-prompt downsample) keep full
+    # precision through the contraction (CLAUDE.md rule 4: TPU truncates
+    # fp32 matmuls to bf16 by default); bf16 feature maps use the normal
+    # single-pass dots — their operands carry no extra bits to preserve.
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jnp.einsum("oh,bhwc->bowc", r_h, x, precision=prec)
+    return jnp.einsum("pw,bhwc->bhpc", r_w, y, precision=prec)
 
 
 class KPFFBlock(nn.Module):
@@ -103,8 +109,12 @@ class KPFFBlock(nn.Module):
         # decides which fused channels matter at this scale.  Pooled from
         # the pre-resize stride-16 map — spatial mean and upsample nearly
         # commute (they differ only in edge-clamp weighting), and the
-        # small map is ~16× cheaper to reduce (quality re-validated on
-        # the hard-synth full recipe, BASELINE.md r2.3).
+        # small map is ~16× cheaper to reduce.  NOTE: unlike the
+        # global_proj reorder above (exact), this changes outputs
+        # slightly for checkpoints trained before r2.4 — params load
+        # unchanged but the SE pooling weights boundary pixels
+        # differently; quality re-validated on the hard-synth and 256²
+        # full recipes (Dice identical to 4 decimals, BASELINE.md r2.4).
         se = jnp.mean(g_small.astype(jnp.float32), axis=(1, 2))
         se = nn.silu(nn.Dense(max(self.channels // 4, 8),
                               dtype=self.dtype)(se.astype(self.dtype)))

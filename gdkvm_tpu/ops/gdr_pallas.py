@@ -32,16 +32,15 @@ blocked BACKWARD substitution mirroring the forward one.  dα leaves the
 kernel as a lane-broadcast (H,128) row per frame (Mosaic has no scalar
 outputs).
 
-**Measured outcome (v5e): of the two kernel backwards, the
-recompute-through-XLA one is the better TPU design and is the DEFAULT**
-(``GDKVM_GDR_BWD=fused`` opts into the fused reverse-scan kernel).  Why:
-the backward's heavy per-frame work (solve recompute, dq/dk/dv matmuls) is
-INDEPENDENT across frames once the dS carries are known; XLA's scan
-transpose recomputes it batched across the whole sequence and only
-serializes the tiny dS chain, while a single sequential kernel serializes
-everything behind the carry.  The fused kernel is kept (parity-tested both
-modes) for the record and for future megacore-style hardware where grid
-steps overlap.
+**Measured outcome (v5e): there are THREE backward modes and the
+``stored`` one is the DEFAULT** (see ``_bwd_mode`` below for the full
+comparison).  The key structural fact all three respect: the backward's
+heavy per-frame work (solve or its adjoint, dq/dk/dv matmuls) is
+INDEPENDENT across frames once the dS carries are known, so it belongs
+batched in XLA — a single sequential kernel ("fused" mode) serializes
+everything behind the carry and loses; the fused kernel is kept
+parity-tested for the record and for future megacore-style hardware
+where grid steps overlap.
 
 **For TRAINING the story is shape-dependent (r2.5, floor-corrected).**
 XLA's chunked AD stores the forward's solves, which beats the
