@@ -103,6 +103,62 @@ if _PRECISION_MODE not in ("high", "highest"):
     raise ValueError(f"GDKVM_GDR_PRECISION must be high|highest, "
                      f"got {_PRECISION_MODE!r}")
 
+# ── Scoped-VMEM budget for the batch-grouping heuristics ─────────────
+# _batch_group/_chain_batch_group budget a NAIVE operand estimate; Mosaic's
+# scoped stack measures ~4× it (double-buffered blocks + live solve
+# temporaries), so budget E ⇒ ≈4E real footprint.  Mosaic's default scoped
+# limit is 16 MB, which pins the safe default budget at 3.5 MB — but a v5e
+# core has 128 MB physical VMEM, so larger groups are reachable by raising
+# ``vmem_limit_bytes`` (pltpu.CompilerParams).
+#
+# Same-window v5e A/B (3.5 vs 14 MB, H=4 d=64, chained-scan floor-corrected):
+#   forward  N=256: B8 1.081→0.940 ms (1.15×), B4 0.821→0.759 (1.08×)
+#   forward  N=49:  B8 G4→G8 0.704→0.740 (-5%), B16 G4→G16 1.742→1.569 (+11%)
+#   forward  B=1 (G stuck at 1): 1.562→1.751 ms — raising the Mosaic limit
+#            WITHOUT a bigger group costs 12% by itself
+#   training (save_uw, stored-solve fwd): neutral-to-worse (N=256 B8
+#            5.118→5.477 ms; N=49 within ±3%)
+# ⇒ the raise pays exactly when the 3.5 MB budget starves the group below
+# 4 streams AND the batch has room to grow — i.e. inference at large N
+# (256²-res serving).  _group_plan encodes that gate; GDKVM_GDR_VMEM_MB
+# (a float, read once at import and baked per trace) force-overrides the
+# budget for experiments.
+_DEF_BUDGET = 3.5e6
+_HI_BUDGET = 14e6
+_VMEM_ENV = os.environ.get("GDKVM_GDR_VMEM_MB", "auto")
+_VMEM_OVERRIDE = None if _VMEM_ENV == "auto" else float(_VMEM_ENV) * 1e6
+
+
+def _fit_group(b: int, per_stream: float, budget: float) -> int:
+    """Largest divisor of b whose per-stream estimate fits the budget."""
+    g = max(1, min(b, int(budget // per_stream)))
+    while b % g:
+        g -= 1
+    return g
+
+
+def _raised_params(budget: float):
+    """Mosaic params for a raised budget; None keeps defaults (and keeps
+    CPU interpret mode free of TPU-only parameters)."""
+    if budget <= _DEF_BUDGET or jax.default_backend() == "cpu":
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(budget * 4.8, 127e6)))
+
+
+def _group_plan(b: int, per_stream: float, allow_raise: bool):
+    """(G, compiler_params) under the shape-gated VMEM policy above."""
+    if _VMEM_OVERRIDE is not None:
+        return (_fit_group(b, per_stream, _VMEM_OVERRIDE),
+                _raised_params(_VMEM_OVERRIDE))
+    g_lo = _fit_group(b, per_stream, _DEF_BUDGET)
+    if not allow_raise or g_lo >= 4:
+        return g_lo, None
+    g_hi = _fit_group(b, per_stream, _HI_BUDGET)
+    if g_hi > g_lo:
+        return g_hi, _raised_params(_HI_BUDGET)
+    return g_lo, None
+
 
 def _fast_dots() -> bool:
     """bf16x3 mode — trace-time decision; CPU always exact fp32."""
@@ -417,7 +473,7 @@ def _gdr_chain_kernel(save_states: bool, alpha_ref, q_ref, k_ref, u_ref,
 
 def _gdr_chain_flat(q: jax.Array, k: jax.Array, u: jax.Array, w: jax.Array,
                     alpha: jax.Array, s0: jax.Array, interpret: bool,
-                    save_states: bool):
+                    save_states: bool, params=None):
     """Flat (B, H, T, N, d) invocation of the chain kernel (see
     :func:`_gdr_chain_kernel`).  q, k may be bf16; u, w arrive fp32 from
     the XLA-side WY solve (kept fp32 through the DMA — a plain bf16 cast
@@ -458,6 +514,7 @@ def _gdr_chain_flat(q: jax.Array, k: jax.Array, u: jax.Array, w: jax.Array,
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=params,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * t * 3 * n * dk * dv,
             bytes_accessed=b * h * t * n * (2 * dk + 4 * dk + 8 * dv) * 2,
@@ -466,19 +523,16 @@ def _gdr_chain_flat(q: jax.Array, k: jax.Array, u: jax.Array, w: jax.Array,
     )(alpha, q, k, u, w, s0)
 
 
-def _chain_batch_group(b: int, h: int, n: int, dk: int, dv: int) -> int:
-    """Streams folded per chain-kernel grid step (VMEM-budgeted).
+def _chain_batch_group(b: int, h: int, n: int, dk: int, dv: int):
+    """(G, compiler_params) folded per chain-kernel grid step.
 
     Much lighter than the monolithic kernel's footprint: per stream the
     blocks are q,k,w (N,dk), u,o (N,dv) plus 3 fp32 state temporaries —
     no (N,N) A matrix and no unrolled solve intermediates.  The same
     conservative ~4× Mosaic scoped-stack fudge is absorbed by budgeting
-    the raw estimate at 3.5 MB (see ``_batch_group``)."""
+    the raw estimate (see ``_batch_group`` / ``_group_plan``)."""
     per_stream = 4.0 * h * (3 * n * dk + 2 * n * dv + 3 * dk * dv)
-    g = max(1, min(b, int(3.5e6 // per_stream)))
-    while b % g:
-        g -= 1
-    return g
+    return _group_plan(b, per_stream, allow_raise=True)
 
 
 def _wy_uw_bh(k: jax.Array, v: jax.Array, beta: jax.Array, eta: jax.Array
@@ -551,7 +605,7 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
 def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
                      ke: jax.Array, alpha: jax.Array,
                      s0: jax.Array, interpret: bool, save_states: bool,
-                     save_uw: bool = False):
+                     save_uw: bool = False, params=None):
     """Flat (B, H, T, N, d) invocation — the API layout, consumed directly.
     N must be pre-padded (vb=ke=0 on pads ⇒ exact no-op writes); gate
     premultiplies (vb = β⊙V, ke = η⊙K) happen in XLA before the call.
@@ -600,6 +654,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=params,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * t * (3 * n * dk * dv + n * n * dk
                                    + n * n * (dk + dv)),
@@ -678,8 +733,8 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
 
 
 def _batch_group(b: int, h: int, n: int, dk: int, dv: int,
-                 save_uw: bool = False) -> int:
-    """Streams folded into one grid step (VMEM-budgeted).
+                 save_uw: bool = False, allow_raise: bool | None = None):
+    """(G, compiler_params): streams folded into one grid step.
 
     The time grid is sequential by nature, but batch elements are
     independent — and on a single-TensorCore chip every grid step
@@ -700,13 +755,14 @@ def _batch_group(b: int, h: int, n: int, dk: int, dv: int,
         per_stream += 4.0 * h * 2 * n * (dk + dv)
     # Mosaic's scoped-VMEM stack measures ~4× this estimate (double-buffered
     # operand/output blocks + live unrolled solve temporaries): 24.56 MB at
-    # g=8, H=4, N=64, d=64 ⇒ ~3.07 MB/stream vs 0.79 estimated.  Budget the
-    # ESTIMATE at 3.5 MB so the real footprint stays under the 16 MB limit
-    # with headroom (g=4 at that shape ⇒ ~12.3 MB measured-scale).
-    g = max(1, min(b, int(3.5e6 // per_stream)))
-    while b % g:
-        g -= 1
-    return g
+    # g=8, H=4, N=64, d=64 ⇒ ~3.07 MB/stream vs 0.79 estimated.  The default
+    # 3.5 MB ESTIMATE budget keeps the real footprint under Mosaic's default
+    # 16 MB limit with headroom (g=4 at that shape ⇒ ~12.3 MB measured-scale).
+    # The training path (save_uw) never takes the raised budget — the
+    # stored-solve grad A/B showed it neutral-to-worse (see _group_plan).
+    if allow_raise is None:
+        allow_raise = not save_uw
+    return _group_plan(b, per_stream, allow_raise)
 
 
 def _group(x: jax.Array, g: int) -> jax.Array:
@@ -819,19 +875,19 @@ def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
         bf = _pad_tokens(beta[..., None], n_pad)[..., 0]
         ef = _pad_tokens(eta[..., None], n_pad)[..., 0]
         u, w = _wy_uw_bh(kf, _pad_tokens(v, n_pad), bf, ef)
-        g = _chain_batch_group(b, h, n_pad, dk, dv)
+        g, params = _chain_batch_group(b, h, n_pad, dk, dv)
         outs = _gdr_chain_flat(
             _group(qf, g), _group(kf, g), _group(u, g), _group(w, g),
             _group(alpha.astype(_F32), g), _group(s0, g), _interpret(),
-            save_states)
+            save_states, params)
         uw = (u, w) if save_uw else None
     else:
         qf, kf, vbf, kef, af = _flat_inputs_premul(q, k, v, beta, eta, alpha)
-        g = _batch_group(b, h, qf.shape[-2], dk, dv, save_uw)
+        g, params = _batch_group(b, h, qf.shape[-2], dk, dv, save_uw)
         outs = _gdr_pallas_flat(
             _group(qf, g), _group(kf, g), _group(vbf, g), _group(kef, g),
             _group(af, g), _group(s0, g), _interpret(), save_states,
-            save_uw)
+            save_uw, params)
         uw = (tuple(_ungroup(x, g) for x in outs[-2:])
               if save_uw else None)
     o = _ungroup(outs[0], g)[:, :, :, :n, :]            # (B,H,T,N,dv)
@@ -978,7 +1034,9 @@ def _bwd(residuals, cotangents):
     n_pad = max(_round_up(n, 16), 16)
     qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
     dof = _pad_tokens(do.astype(_F32), n_pad)
-    g = _batch_group(b, h, n_pad, dk, v.shape[-1])
+    # Fused reverse-scan kernel: never A/B'd at a raised budget; keep it at
+    # the measured default group and Mosaic limit.
+    g, _ = _batch_group(b, h, n_pad, dk, v.shape[-1], allow_raise=False)
     outs = _gdr_pallas_bwd_flat(
         _group(qf, g), _group(kf, g), _group(vf, g), _group(bf, g),
         _group(ef, g), _group(af, g), _group(states, g), _group(dof, g),

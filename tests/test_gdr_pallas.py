@@ -292,3 +292,27 @@ def test_pallas_chain_mode_save_states():
         q, k, v, beta, beta, alpha, s0, save_states=True, mode="monolith")
     np.testing.assert_allclose(np.asarray(st_chain), np.asarray(st_mono),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_group_plan_vmem_gate():
+    """Shape-gated VMEM policy (same-window v5e A/B, r2.6): raise the
+    budget only when the default starves G below 4 AND the batch has room;
+    never on the training (save_uw) path; B=1 never pays the raised limit."""
+    H, DK, DV = 4, 64, 64
+    # N=49→pad 64: default budget already gives G=4 → no raise.
+    g, params = gdr_pallas._batch_group(8, H, 64, DK, DV)
+    assert g == 4 and params is None
+    # N=256 inference: starved (G=1 at default) → raised to G=4 + params.
+    g, params = gdr_pallas._batch_group(8, H, 256, DK, DV)
+    assert g == 4
+    if jax.default_backend() != "cpu":
+        assert params is not None
+    # Same shape on the training path: stays at the default budget.
+    g, params = gdr_pallas._batch_group(8, H, 256, DK, DV, save_uw=True)
+    assert g == 1 and params is None
+    # B=1: the group cannot grow, so the raised limit is never applied.
+    g, params = gdr_pallas._batch_group(1, H, 208, DK, DV)
+    assert g == 1 and params is None
+    # Chain kernel is light enough that the default budget suffices here.
+    g, params = gdr_pallas._chain_batch_group(8, H, 64, DK, DV)
+    assert g >= 4 and params is None
