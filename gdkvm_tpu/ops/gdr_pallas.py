@@ -126,7 +126,14 @@ if _PRECISION_MODE not in ("high", "highest"):
 _DEF_BUDGET = 3.5e6
 _HI_BUDGET = 14e6
 _VMEM_ENV = os.environ.get("GDKVM_GDR_VMEM_MB", "auto")
-_VMEM_OVERRIDE = None if _VMEM_ENV == "auto" else float(_VMEM_ENV) * 1e6
+if _VMEM_ENV == "auto":
+    _VMEM_OVERRIDE = None
+else:
+    try:
+        _VMEM_OVERRIDE = float(_VMEM_ENV) * 1e6
+    except ValueError:
+        raise ValueError(f"GDKVM_GDR_VMEM_MB must be a float or 'auto', "
+                         f"got {_VMEM_ENV!r}") from None
 
 
 def _fit_group(b: int, per_stream: float, budget: float) -> int:
@@ -155,6 +162,11 @@ def _group_plan(b: int, per_stream: float, allow_raise: bool):
     if not allow_raise or g_lo >= 4:
         return g_lo, None
     g_hi = _fit_group(b, per_stream, _HI_BUDGET)
+    # Cap the raised group at 4 (largest divisor of b ≤ 4): G=4 is the
+    # A/B'd sweet spot at N=256, and the one forced-G=8 measurement lost
+    # 8-14% — never let an intermediate shape self-select past it.
+    while g_hi > 4 or b % g_hi:
+        g_hi -= 1
     if g_hi > g_lo:
         return g_hi, _raised_params(_HI_BUDGET)
     return g_lo, None
@@ -523,7 +535,8 @@ def _gdr_chain_flat(q: jax.Array, k: jax.Array, u: jax.Array, w: jax.Array,
     )(alpha, q, k, u, w, s0)
 
 
-def _chain_batch_group(b: int, h: int, n: int, dk: int, dv: int):
+def _chain_batch_group(b: int, h: int, n: int, dk: int, dv: int,
+                       save_uw: bool = False):
     """(G, compiler_params) folded per chain-kernel grid step.
 
     Much lighter than the monolithic kernel's footprint: per stream the
@@ -532,7 +545,11 @@ def _chain_batch_group(b: int, h: int, n: int, dk: int, dv: int):
     conservative ~4× Mosaic scoped-stack fudge is absorbed by budgeting
     the raw estimate (see ``_batch_group`` / ``_group_plan``)."""
     per_stream = 4.0 * h * (3 * n * dk + 2 * n * dv + 3 * dk * dv)
-    return _group_plan(b, per_stream, allow_raise=True)
+    # Training traces (save_uw: the stored backward calls the fwd) stay at
+    # the default budget like the monolith path — the raised budget is
+    # only A/B-justified for inference, and this keeps every save_uw trace
+    # byte-identical across fwd modes (BASELINE.md r2.5 claim).
+    return _group_plan(b, per_stream, allow_raise=not save_uw)
 
 
 def _wy_uw_bh(k: jax.Array, v: jax.Array, beta: jax.Array, eta: jax.Array
@@ -665,7 +682,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
 
 
 def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
-                         interpret: bool):
+                         interpret: bool, params=None):
     """Flat reversed-scan backward in the (B,H,T,...) API layout, plus
     states (B,H,T,dk,dv) fp32 checkpoints, do (B,H,T,N,dv), dsT (B,H,dk,dv).
 
@@ -721,6 +738,7 @@ def _gdr_pallas_bwd_flat(q, k, v, beta, eta, alpha, states, do, dsT,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=params,
         cost_estimate=pl.CostEstimate(
             # ~3× the forward's matmul work (recompute + two transposes).
             flops=6 * b * h * t * (3 * n * dk * dv + n * n * dk
@@ -875,7 +893,7 @@ def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
         bf = _pad_tokens(beta[..., None], n_pad)[..., 0]
         ef = _pad_tokens(eta[..., None], n_pad)[..., 0]
         u, w = _wy_uw_bh(kf, _pad_tokens(v, n_pad), bf, ef)
-        g, params = _chain_batch_group(b, h, n_pad, dk, dv)
+        g, params = _chain_batch_group(b, h, n_pad, dk, dv, save_uw)
         outs = _gdr_chain_flat(
             _group(qf, g), _group(kf, g), _group(u, g), _group(w, g),
             _group(alpha.astype(_F32), g), _group(s0, g), _interpret(),
@@ -1035,12 +1053,15 @@ def _bwd(residuals, cotangents):
     qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
     dof = _pad_tokens(do.astype(_F32), n_pad)
     # Fused reverse-scan kernel: never A/B'd at a raised budget; keep it at
-    # the measured default group and Mosaic limit.
-    g, _ = _batch_group(b, h, n_pad, dk, v.shape[-1], allow_raise=False)
+    # the measured default group and Mosaic limit.  Under a
+    # GDKVM_GDR_VMEM_MB override the budget is forced here too, so the
+    # raised CompilerParams MUST ride along — a G sized for the override
+    # with the default 16 MB Mosaic limit fails to compile at N≥256.
+    g, params = _batch_group(b, h, n_pad, dk, v.shape[-1], allow_raise=False)
     outs = _gdr_pallas_bwd_flat(
         _group(qf, g), _group(kf, g), _group(vf, g), _group(bf, g),
         _group(ef, g), _group(af, g), _group(states, g), _group(dof, g),
-        _group(dsT.astype(_F32), g), _interpret())
+        _group(dsT.astype(_F32), g), _interpret(), params)
     dqf, dkf, dvf, dbf, def_, daf, ds0 = (_ungroup(x, g) for x in outs)
 
     unpad = lambda x: x[:, :, :, :n]

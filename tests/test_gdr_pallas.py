@@ -1,5 +1,7 @@
 """Pallas GDR kernel parity tests (interpret mode on CPU — SURVEY §4.2a)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -316,3 +318,37 @@ def test_group_plan_vmem_gate():
     # Chain kernel is light enough that the default budget suffices here.
     g, params = gdr_pallas._chain_batch_group(8, H, 64, DK, DV)
     assert g >= 4 and params is None
+    # Raised-budget groups are capped at 4 even when the budget fits more:
+    # N=128-pad B=8 per-stream ~1.5 MB would self-select G=8 under 14 MB,
+    # a regime the only forced-G=8 A/B showed losing 8-14% (ADVICE r2).
+    g, params = gdr_pallas._batch_group(8, H, 128, DK, DV)
+    assert g <= 4
+    # ...and the cap respects batch divisibility (B=6 → 3, not 4).
+    g, _ = gdr_pallas._batch_group(6, H, 128, DK, DV)
+    assert g in (1, 2, 3) and 6 % g == 0
+    # Chain training traces (save_uw) never take the raised budget either.
+    g_tr, params_tr = gdr_pallas._chain_batch_group(8, H, 256, DK, DV,
+                                                    save_uw=True)
+    g_inf, _ = gdr_pallas._chain_batch_group(8, H, 256, DK, DV)
+    assert params_tr is None and g_tr <= g_inf
+
+
+def test_vmem_override_env_validation():
+    """Malformed GDKVM_GDR_VMEM_MB must raise a descriptive ValueError at
+    import (consistency with GDKVM_GDR_PRECISION/GDKVM_GDR_FWD), and the
+    fused reverse-scan backward must carry the override's CompilerParams
+    (ADVICE r2 medium: a group sized for the raised budget with the
+    default Mosaic limit fails to compile)."""
+    import subprocess
+    import sys
+    proc = subprocess.run(
+        [sys.executable, "-c", "import gdkvm_tpu.ops.gdr_pallas"],
+        env={**os.environ, "GDKVM_GDR_VMEM_MB": "bogus",
+             "GDKVM_PLATFORM": "cpu"},
+        capture_output=True, text=True)
+    assert proc.returncode != 0
+    assert "GDKVM_GDR_VMEM_MB must be a float or 'auto'" in proc.stderr
+    # _gdr_pallas_bwd_flat accepts compiler params (plumbing exists).
+    import inspect
+    assert "params" in inspect.signature(
+        gdr_pallas._gdr_pallas_bwd_flat).parameters
