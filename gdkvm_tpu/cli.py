@@ -678,6 +678,10 @@ def cmd_parity(argv) -> int:
                    help="echonet-ef: cap videos scored")
     p.add_argument("--max-patients", type=int, default=None,
                    help="camus: cap patients scored")
+    p.add_argument("--folds", type=int, default=None,
+                   help="camus: k-fold CV aggregation (the CAMUS "
+                        "challenge protocol is 10-fold) instead of the "
+                        "fixed split — mean ± std of per-fold mean Dice")
     p.add_argument("--no-hd95", action="store_true")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
@@ -699,7 +703,12 @@ def cmd_parity(argv) -> int:
     protocol = args.protocol
     if protocol == "auto":
         protocol = "echonet-ef" if cfg.data.dataset == "echonet" else "camus"
-    if protocol == "camus":
+    if protocol == "camus" and args.folds:
+        out = parity.camus_official_folds(
+            cfg, model, params, folds=args.folds,
+            split=args.split or cfg.data.val_split,
+            with_hd95=not args.no_hd95)
+    elif protocol == "camus":
         out = parity.camus_official(
             cfg, model, params, split=args.split or cfg.data.val_split,
             with_hd95=not args.no_hd95, max_patients=args.max_patients)

@@ -23,8 +23,9 @@ Binary LV configs keep {0, 1}.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -56,6 +57,33 @@ class CamusDataset:
 
     def __len__(self) -> int:
         return len(self.clips)
+
+    def spacing(self, idx: int) -> Optional[Tuple[float, float]]:
+        """Physical pixel spacing (sy, sx) in mm AT THIS LOADER'S
+        image_size, from the clip's meta.json sidecar (written by the raw
+        converter / synthetic materializer); None when the clip predates
+        the sidecar — callers then score in pixel units and say so.
+
+        The sidecar records spacing at its stored resolution ``size``; a
+        loader resizing to a different image_size scales mm-per-pixel by
+        stored/target per axis."""
+        cache = getattr(self, "_spacing_cache", None)
+        if cache is None:
+            cache = self._spacing_cache = {}
+        if idx in cache:
+            return cache[idx]
+        path = os.path.join(self.root, self.clips[idx], "meta.json")
+        out: Optional[Tuple[float, float]] = None
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+            sp = meta.get("spacing_mm")
+            size = meta.get("size", [self.image_size, self.image_size])
+            if sp is not None:
+                out = (float(sp[0]) * size[0] / self.image_size,
+                       float(sp[1]) * size[1] / self.image_size)
+        cache[idx] = out
+        return out
 
     def _load_png(self, path: str, is_mask: bool) -> np.ndarray:
         img = Image.open(path)
@@ -89,8 +117,16 @@ def materialize_synthetic_camus(root: str, num_train: int = 16,
                                 num_val: int = 4, image_size: int = 256,
                                 clip_len: int = 10, num_classes: int = 4,
                                 seed: int = 0,
-                                difficulty: float = 0.0) -> None:
-    """Write synthetic clips in the camus_png256x256_10f layout."""
+                                difficulty: float = 0.0,
+                                spacing_mm: Tuple[float, float] | None
+                                = (0.6, 0.4)) -> None:
+    """Write synthetic clips in the camus_png256x256_10f layout.
+
+    ``spacing_mm``: declared (sy, sx) physical spacing written to each
+    clip's meta.json sidecar — deliberately anisotropic by default so the
+    physical-units parity path (HD95 in mm, EF volumes in mL) is exercised
+    end-to-end on the stand-in; None omits the sidecar (pixel-units mode,
+    the pre-sidecar layout)."""
     counters = {"train": num_train, "val": num_val}
     idx = 0
     for split, count in counters.items():
@@ -112,3 +148,8 @@ def materialize_synthetic_camus(root: str, num_train: int = 16,
                     os.path.join(clip_dir, f"frame_{t:02d}.png"))
                 Image.fromarray(masks[t]).save(
                     os.path.join(clip_dir, f"mask_{t:02d}.png"))
+            if spacing_mm is not None:
+                with open(os.path.join(clip_dir, "meta.json"), "w") as f:
+                    json.dump({"spacing_mm": list(spacing_mm),
+                               "size": [image_size, image_size],
+                               "source": "synthetic"}, f)

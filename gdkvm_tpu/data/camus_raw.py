@@ -22,8 +22,9 @@ identical to our convention, no remapping needed.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -68,15 +69,38 @@ def read_mhd(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
     return arr.reshape(shape), header
 
 
-def write_mhd(path: str, volume: np.ndarray) -> None:
-    """Write a (T,H,W) uint8 MetaImage pair (testing / materialization)."""
+def element_spacing(header: Dict[str, str]) -> Optional[Tuple[float, ...]]:
+    """Physical voxel spacing from a MetaImage header, in the header's own
+    x-fastest order (sx, sy[, sz/st]), millimetres.
+
+    MetaImage spells it ``ElementSpacing`` (mm per voxel); some writers use
+    ``ElementSize`` instead — same semantics for medical volumes.  Returns
+    None when the header declares neither (the caller decides whether to
+    fall back to pixel units)."""
+    for key in ("ElementSpacing", "ElementSize"):
+        if key in header:
+            return tuple(float(x) for x in header[key].split())
+    return None
+
+
+def write_mhd(path: str, volume: np.ndarray,
+              spacing: Optional[Tuple[float, ...]] = None) -> None:
+    """Write a (T,H,W) uint8 MetaImage pair (testing / materialization).
+
+    ``spacing``: optional physical voxel spacing (sx, sy[, st]) in mm —
+    written as ElementSpacing exactly as raw CAMUS declares it."""
     base = os.path.splitext(os.path.basename(path))[0]
     raw_name = base + ".raw"
     t, h, w = volume.shape
+    sp_line = ""
+    if spacing is not None:
+        vals = " ".join(f"{s:g}" for s in spacing)
+        sp_line = f"ElementSpacing = {vals}\n"
     with open(path, "w") as f:
         f.write("ObjectType = Image\nNDims = 3\nBinaryData = True\n"
                 "BinaryDataByteOrderMSB = False\nCompressedData = False\n"
-                f"DimSize = {w} {h} {t}\nElementType = MET_UCHAR\n"
+                f"DimSize = {w} {h} {t}\n{sp_line}"
+                "ElementType = MET_UCHAR\n"
                 f"ElementDataFile = {raw_name}\n")
     volume.astype(np.uint8).tofile(os.path.join(os.path.dirname(path),
                                                 raw_name))
@@ -104,6 +128,18 @@ def official_camus_split(patient: str) -> str:
     if num <= 450:
         return "val"
     return "test"
+
+
+def camus_fold(patient: str, folds: int) -> int:
+    """Deterministic patient-number fold id in [0, folds): (num-1) % folds.
+
+    The CAMUS challenge protocol is 10-fold cross-validation over the 500
+    patients; the official fold assignment isn't re-derivable here, so this
+    balanced patient-number rule is the reproducible default — whichever
+    fold scheme the paper used becomes a flag at parity time
+    (``gdkvm parity --folds``), not a code change."""
+    num = int("".join(ch for ch in patient if ch.isdigit()) or 0)
+    return (num - 1) % folds
 
 
 def convert_raw_camus(raw_root: str, out_root: str, *,
@@ -138,7 +174,7 @@ def convert_raw_camus(raw_root: str, out_root: str, *,
             gt = os.path.join(pdir, f"{pat}_{view}_half_sequence_gt.mhd")
             if not os.path.exists(seq):
                 continue
-            frames, _ = read_mhd(seq)
+            frames, header = read_mhd(seq)
             masks = read_mhd(gt)[0] if os.path.exists(gt) else None
             t_total = frames.shape[0]
             idx = np.linspace(0, t_total - 1, clip_len).round().astype(int)
@@ -155,5 +191,22 @@ def convert_raw_camus(raw_root: str, out_root: str, *,
                 for j in range(clip_len):
                     Image.fromarray(masks_r[j]).save(
                         os.path.join(clip_dir, f"mask_{j:02d}.png"))
+            # Physical-units sidecar: raw CAMUS is anisotropic (~0.31 mm
+            # lateral × ~0.15 mm axial at native resolution); the resize to
+            # image_size scales each axis's mm-per-pixel independently.
+            # HD95-in-mm and mL volumes (eval/parity.py) read this back.
+            sp = element_spacing(header)            # (sx, sy[, st]) mm
+            if sp is not None and len(sp) >= 2:
+                h0, w0 = frames.shape[1], frames.shape[2]
+                meta = {
+                    "spacing_mm": [sp[1] * h0 / image_size,
+                                   sp[0] * w0 / image_size],  # [sy, sx]
+                    "size": [image_size, image_size],
+                    "orig_size": [h0, w0],
+                    "orig_spacing_mm": [sp[1], sp[0]],
+                    "source": os.path.basename(seq),
+                }
+                with open(os.path.join(clip_dir, "meta.json"), "w") as f:
+                    json.dump(meta, f)
             written += 1
     return written

@@ -200,7 +200,8 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
     # ~0 EF MAE on this stand-in, exactly like real EchoNet's EF column.
     from gdkvm_tpu.eval.parity import beatwise_ef, lv_volume_area_length
     os.makedirs(os.path.join(root, "Videos"), exist_ok=True)
-    rows = [("FileName", "EF", "Split")]
+    fps = 30.0
+    rows = [("FileName", "EF", "FPS", "Split")]
     trows = [("FileName", "X1", "Y1", "X2", "Y2", "Frame")]
     splits = ["TRAIN"] * num_train + ["VAL"] * num_val
     for i, split in enumerate(splits):
@@ -209,15 +210,17 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
             seed * 104729 + i, num_frames, image_size, image_size, 2,
             difficulty)
         path = os.path.join(root, "Videos", name)
-        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30,
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), int(fps),
                              (image_size, image_size), isColor=False)
         for t in range(num_frames):
             vw.write(frames[t, :, :, 0])
         vw.release()
         vols = np.array([lv_volume_area_length(masks[t] == 1)
                          for t in range(num_frames)])
-        ef, _ = beatwise_ef(vols)
-        rows.append((name, f"{ef:.4f}", split))
+        # Label EF with the same FPS-aware rule the protocol applies, so a
+        # perfect model reads EF MAE = 0 on the stand-in.
+        ef, _ = beatwise_ef(vols, fps=fps)
+        rows.append((name, f"{ef:.4f}", f"{fps:g}", split))
         # Trace ED (frame 0) and ES (mid) as parallel chords of the mask.
         for fr in (0, num_frames // 2):
             m = masks[fr]

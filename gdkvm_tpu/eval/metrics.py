@@ -65,20 +65,25 @@ def dice_finalize(acc: Dict[str, jax.Array], eps: float = 1e-7
 
 
 def hd95(pred: "np.ndarray", label: "np.ndarray",
-         num_classes: int, spacing: float = 1.0) -> Dict[str, float]:
+         num_classes: int, spacing=1.0) -> Dict[str, float]:
     """95th-percentile symmetric Hausdorff distance per foreground class.
 
     The standard CAMUS boundary metric alongside Dice (reported by the
     segmentation literature the reference compares against).  Host-side
     numpy/scipy on hard masks — eval-time only, never in the jitted path.
 
-    pred, label: (H, W) integer class maps (single frame).  Returns
-    {"hd95_class{k}": distance} for foreground classes; classes absent
-    from BOTH maps are skipped, absent from one map give inf.
+    pred, label: (H, W) integer class maps (single frame).  ``spacing``:
+    physical pixel size — a scalar (isotropic) or an (sy, sx) pair in mm
+    (raw CAMUS is anisotropic; the EDT is computed with per-axis sampling
+    so distances are exact physical lengths, not scaled pixel counts).
+    Returns {"hd95_class{k}": distance} for foreground classes; classes
+    absent from BOTH maps are skipped, absent from one map give inf.
     """
     import numpy as np
     from scipy.ndimage import binary_erosion, distance_transform_edt
 
+    samp = ((float(spacing),) * 2 if np.isscalar(spacing)
+            else tuple(float(s) for s in spacing))
     out: Dict[str, float] = {}
     for k in range(1, num_classes):
         p = pred == k
@@ -90,12 +95,12 @@ def hd95(pred: "np.ndarray", label: "np.ndarray",
             continue
         pb = p & ~binary_erosion(p)            # boundaries
         lb = l & ~binary_erosion(l)
-        dist_to_l = distance_transform_edt(~lb)
-        dist_to_p = distance_transform_edt(~pb)
+        dist_to_l = distance_transform_edt(~lb, sampling=samp)
+        dist_to_p = distance_transform_edt(~pb, sampling=samp)
         d_pl = dist_to_l[pb]
         d_lp = dist_to_p[lb]
         both = np.concatenate([d_pl, d_lp])
-        out[f"hd95_class{k}"] = float(np.percentile(both, 95) * spacing)
+        out[f"hd95_class{k}"] = float(np.percentile(both, 95))
     return out
 
 

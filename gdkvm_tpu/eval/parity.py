@@ -14,7 +14,11 @@ CAMUS official protocol (per the CAMUS challenge definition):
     epicardial contour encloses the cavity AND the myocardium), left atrium
     (class 3);
   - metrics: Dice and HD95 per (structure, phase), reported mean ± std
-    across patients — never pooled over pixels.
+    across patients — never pooled over pixels.  HD95 is scored in
+    MILLIMETRES (the paper-table unit) whenever the clips carry the
+    physical-spacing sidecar the raw converter writes (data/camus_raw.py),
+    anisotropic-exact via per-axis EDT sampling; pixel units otherwise,
+    and the table header says which.
   The processed-artifact clips are ED→ES half sequences
   (camus_png256x256_10f, 10 frames), so ED = first annotated frame and
   ES = last annotated frame of each clip.
@@ -25,9 +29,15 @@ EchoNet-Dynamic EF protocol:
     V = 8·A² / (3π·L) (A = cavity area, L = long-axis length), the standard
     monoplane estimate for apical views;
   - ED/ES picked from the volume trace (max / min after light smoothing;
-    beat-aware variant picks the best beat);
+    beat-aware variant segments beats FPS-aware using FileList.csv's
+    per-video FPS column — the separation window is a time, not a frame
+    count);
   - EF = 100·(V_ED − V_ES)/V_ED, compared against FileList.csv's EF column
     with MAE / RMSE / bias / Pearson r / R².
+
+CAMUS biplane EF additionally reports volumes in mL when spacing sidecars
+are present (anisotropic raw-CAMUS spacing does not cancel in area–length
+volumes, so physical units change EF itself there).
 """
 
 from __future__ import annotations
@@ -44,13 +54,24 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def lv_long_axis_px(mask: np.ndarray) -> float:
-    """Long-axis length (pixels) of a binary mask: extent along the first
-    principal axis of the foreground pixel cloud."""
+MM3_PER_ML = 1000.0
+
+
+def lv_long_axis_px(mask: np.ndarray, spacing=None) -> float:
+    """Long-axis length of a binary mask: extent along the first principal
+    axis of the foreground pixel cloud.
+
+    ``spacing``: optional (sy, sx) physical pixel size in mm — the cloud
+    is scaled to physical coordinates BEFORE the PCA, so both the axis
+    direction and its extent are anisotropic-correct (raw CAMUS pixels
+    are ~2× taller than wide; a pixel-space axis is wrong there).
+    Returns pixels when spacing is None, mm otherwise."""
     ys, xs = np.nonzero(mask)
     if ys.size < 2:
         return 0.0
     pts = np.stack([ys, xs], axis=1).astype(np.float64)
+    if spacing is not None:
+        pts *= np.asarray(spacing, np.float64)[None, :]
     pts -= pts.mean(axis=0)
     # Principal axis via the 2×2 covariance eigenvector.
     cov = pts.T @ pts / pts.shape[0]
@@ -60,13 +81,26 @@ def lv_long_axis_px(mask: np.ndarray) -> float:
     return float(proj.max() - proj.min())
 
 
-def lv_volume_area_length(mask: np.ndarray) -> float:
-    """Monoplane area–length LV volume estimate in voxel units:
-    V = 8·A²/(3π·L).  Returns 0 for an empty mask."""
-    area = float(mask.sum())
+def lv_area(mask: np.ndarray, spacing=None) -> float:
+    """Foreground area: pixel count, or mm² when (sy, sx) spacing given."""
+    n = float(np.asarray(mask, bool).sum())
+    if spacing is None:
+        return n
+    return n * float(spacing[0]) * float(spacing[1])
+
+
+def lv_volume_area_length(mask: np.ndarray, spacing=None) -> float:
+    """Monoplane area–length LV volume estimate V = 8·A²/(3π·L).
+
+    Voxel units when ``spacing`` is None; with (sy, sx) in mm the area is
+    mm², the length mm, and the volume mm³ (divide by MM3_PER_ML for mL).
+    Anisotropic spacing does NOT cancel in EF — A² grows with sy²·sx²
+    while L grows with the spacing along the long axis only — so physical
+    units matter even for the ratio.  Returns 0 for an empty mask."""
+    area = lv_area(mask, spacing)
     if area <= 0:
         return 0.0
-    length = lv_long_axis_px(mask)
+    length = lv_long_axis_px(mask, spacing)
     if length <= 0:
         return 0.0
     return 8.0 * area * area / (3.0 * np.pi * length)
@@ -94,7 +128,9 @@ def _smooth_trace(volumes: np.ndarray, smooth: int) -> np.ndarray:
 
 
 def beatwise_ef(volumes: np.ndarray, smooth: int = 3,
-                min_beat_frames: int = 8) -> Tuple[float, int]:
+                min_beat_frames: int = 8,
+                fps: Optional[float] = None,
+                min_beat_s: float = 0.3) -> Tuple[float, int]:
     """Beat-aware EF: segment the volume trace into beats at the ES minima
     (the EchoNet-protocol shape: EF is estimated per beat and averaged —
     robust to arrhythmia and to a lucky/unlucky global extreme).
@@ -103,7 +139,16 @@ def beatwise_ef(volumes: np.ndarray, smooth: int = 3,
     least ``min_beat_frames``; per beat, EF from the max/min volume inside
     it.  Falls back to the global-extreme EF when the trace is too short
     to segment.  Returns (ef_percent, n_beats_used).
+
+    ``fps`` (EchoNet FileList.csv carries per-video FPS; ~50 typical but
+    it varies) makes the separation frame-rate-aware: min separation =
+    ``min_beat_s``·fps frames (0.3 s ≈ a 200 bpm ceiling — filters noise
+    wiggles without dropping real beats).  A fixed frame count misreads
+    slow-frame-rate videos: 8 frames is 0.16 s at 50 fps but 0.27 s at
+    30 fps.  Without fps the legacy fixed ``min_beat_frames`` applies.
     """
+    if fps is not None and fps > 0:
+        min_beat_frames = max(3, int(round(min_beat_s * fps)))
     v = _smooth_trace(volumes, smooth)
     if v.size < 2 * min_beat_frames:
         i_ed, i_es = detect_ed_es(volumes, smooth)
@@ -193,7 +238,7 @@ def _predict_masks_fn(model):
 def camus_official(cfg, model, params, split: str = "val",
                    batch_size: int = 8, with_hd95: bool = True,
                    max_patients: Optional[int] = None,
-                   predict_fn=None) -> Dict:
+                   predict_fn=None, patient_filter=None) -> Dict:
     """Run the CAMUS official per-patient ED/ES protocol on a split.
 
     Returns {"per_structure": {view: {structure: {phase: {dice_mean, ...,
@@ -201,7 +246,8 @@ def camus_official(cfg, model, params, split: str = "val",
 
     ``predict_fn(frames_u8 (B,T,H,W,1)) -> (B,T,H,W) class maps`` replaces
     the model forward (protocol-exactness tests feed ground truth through
-    it and must read Dice 1.0 / HD95 0.0).
+    it and must read Dice 1.0 / HD95 0.0).  ``patient_filter(pid) -> bool``
+    restricts scoring to a patient subset (the fold machinery uses it).
     """
     import jax
     from gdkvm_tpu.data.camus import CamusDataset
@@ -223,16 +269,25 @@ def camus_official(cfg, model, params, split: str = "val",
     dice_rec: Dict[Tuple[str, str, str], List[float]] = defaultdict(list)
     hd_rec: Dict[Tuple[str, str, str], List[float]] = defaultdict(list)
     patients = set()
+    # Physical units: HD95 in mm when every scored clip declares spacing
+    # (meta.json sidecar, written by the raw converter — reference raw-data
+    # pointer website/src/pages/[lang]/reprod/index.astro:222); px
+    # otherwise.  CAMUS-literature tables report mm.
+    n_spaced = 0
+    n_clips = 0
 
     # Batched prediction over clips (static batch; pad the tail).
     n = len(ds)
-    if max_patients is not None:
+    if max_patients is not None or patient_filter is not None:
         keep = []
         seen_p = set()
         for i in range(n):
             m = _CLIP_RE.match(ds.clips[i])
             pid = m.group(1) if m else ds.clips[i]
-            if pid not in seen_p and len(seen_p) >= max_patients:
+            if patient_filter is not None and not patient_filter(pid):
+                continue
+            if pid not in seen_p and max_patients is not None \
+                    and len(seen_p) >= max_patients:
                 continue
             seen_p.add(pid)
             keep.append(i)
@@ -257,6 +312,9 @@ def camus_official(cfg, model, params, split: str = "val",
             pid = m.group(1) if m else ds.clips[i]
             view = m.group(2).upper() if m else "NA"
             patients.add(pid)
+            sp = ds.spacing(i) if hasattr(ds, "spacing") else None
+            n_clips += 1
+            n_spaced += sp is not None
             for phase, t in phase_frames.items():
                 for name, sel in structures:
                     p = sel(preds[j, t])
@@ -266,7 +324,8 @@ def camus_official(cfg, model, params, split: str = "val",
                     dice_rec[(view, name, phase)].append(dice_bin(p, l))
                     if with_hd95:
                         hd = M.hd95(p.astype(np.uint8),
-                                    l.astype(np.int64), 2)
+                                    l.astype(np.int64), 2,
+                                    spacing=sp if sp is not None else 1.0)
                         val = hd.get("hd95_class1", float("inf"))
                         if np.isfinite(val):
                             hd_rec[(view, name, phase)].append(val)
@@ -283,11 +342,19 @@ def camus_official(cfg, model, params, split: str = "val",
             cell["hd95_mean"] = float(np.mean(hvals))
             cell["hd95_std"] = float(np.std(hvals))
 
+    if 0 < n_spaced < n_clips:
+        import warnings
+        warnings.warn(
+            f"camus_official: {n_spaced}/{n_clips} clips declare physical "
+            f"spacing — HD95 units are MIXED (mm for spaced clips, px "
+            f"otherwise). Re-run the converter so every clip has meta.json.")
     out = {
         "protocol": "camus_official_ed_es_per_patient",
         "split": split,
         "n_patients": len(patients),
         "per_structure": per_structure,
+        "hd95_units": ("mm" if n_clips and n_spaced == n_clips
+                       else "px" if n_spaced == 0 else "mixed"),
     }
     out["table"] = format_camus_table(out)
     # Headline scalar: mean Dice over every (view, structure, phase) cell —
@@ -300,9 +367,12 @@ def camus_official(cfg, model, params, split: str = "val",
 
 def format_camus_table(result: Dict) -> str:
     """Markdown table in the paper's layout: rows = view × structure,
-    columns = ED/ES × Dice/HD95 (mean ± std)."""
+    columns = ED/ES × Dice/HD95 (mean ± std); HD95 units from the run
+    (mm when every clip declared physical spacing, px otherwise)."""
+    u = result.get("hd95_units", "px")
     lines = [
-        "| View | Structure | Dice ED | Dice ES | HD95 ED (px) | HD95 ES (px) |",
+        f"| View | Structure | Dice ED | Dice ES | HD95 ED ({u}) "
+        f"| HD95 ES ({u}) |",
         "|---|---|---|---|---|---|",
     ]
 
@@ -321,6 +391,65 @@ def format_camus_table(result: Dict) -> str:
                 f"| {view} | {name} | {fmt(ed, 'dice')} | {fmt(es, 'dice')}"
                 f" | {fmt(ed, 'hd95')} | {fmt(es, 'hd95')} |")
     return "\n".join(lines)
+
+
+def camus_official_folds(cfg, model, params, folds: int = 10,
+                         split: str = "val", batch_size: int = 8,
+                         with_hd95: bool = True,
+                         predict_fn=None) -> Dict:
+    """CAMUS official protocol under k-fold cross-validation aggregation.
+
+    The CAMUS challenge's own protocol is 10-fold CV over the 500 patients
+    (fixed-split literature results also exist — data/camus_raw.py
+    ``official_camus_split``); which one the paper used is unconfirmable
+    from the reference, so BOTH are flags at parity time: ``gdkvm parity``
+    default = fixed split, ``--folds 10`` = this path.  Patients are
+    assigned by the deterministic ``camus_fold`` rule; each fold is scored
+    independently by the per-patient ED/ES protocol and the headline is
+    mean ± std of the per-fold mean Dice — matching how CV tables report.
+
+    For the full-CV protocol point the run at a layout containing all
+    patients (e.g. convert with val_fraction=0 and score ``--split
+    train``); running it on a sub-split still aggregates correctly over
+    whatever patients that split holds (empty folds are skipped).
+    """
+    from gdkvm_tpu.data.camus_raw import camus_fold
+
+    per_fold: List[Dict] = []
+    for f in range(folds):
+        res = camus_official(
+            cfg, model, params, split=split, batch_size=batch_size,
+            with_hd95=with_hd95, predict_fn=predict_fn,
+            patient_filter=lambda pid, f=f: camus_fold(pid, folds) == f)
+        if res["n_patients"] == 0:
+            continue
+        res.pop("table", None)
+        res["fold"] = f
+        per_fold.append(res)
+
+    out: Dict = {"protocol": "camus_official_kfold", "split": split,
+                 "folds": folds, "n_folds_scored": len(per_fold),
+                 "per_fold": per_fold}
+    if per_fold:
+        vals = np.array([r["dice_mean_overall"] for r in per_fold])
+        out["dice_mean_overall"] = float(vals.mean())
+        out["dice_std_over_folds"] = float(vals.std())
+        out["n_patients"] = int(sum(r["n_patients"] for r in per_fold))
+        out["hd95_units"] = per_fold[0]["hd95_units"]
+        hds = [c["hd95_mean"]
+               for r in per_fold for v in r["per_structure"].values()
+               for s in v.values() for c in s.values() if "hd95_mean" in c]
+        if hds:
+            out["hd95_mean_overall"] = float(np.mean(hds))
+        lines = [f"| Fold | Patients | Mean Dice |", "|---|---|---|"]
+        for r in per_fold:
+            lines.append(f"| {r['fold']} | {r['n_patients']} "
+                         f"| {r['dice_mean_overall']:.4f} |")
+        lines.append(f"| **mean ± std** | {out['n_patients']} "
+                     f"| {out['dice_mean_overall']:.4f} ± "
+                     f"{out['dice_std_over_folds']:.4f} |")
+        out["table"] = "\n".join(lines)
+    return out
 
 
 def biplane_volume(area_2ch: float, area_4ch: float,
@@ -346,6 +475,11 @@ def camus_ef(cfg, model, params, split: str = "val",
     EF label lives in Info_*CH.cfg, outside the processed-artifact layout;
     GT-mask-derived EF is the self-consistent stand-in and the mask-error
     isolator either way).  Reports MAE/RMSE/bias/r against it.
+
+    With per-clip physical spacing (meta.json sidecars) areas/lengths are
+    computed in mm²/mm and volumes reported in mL — anisotropic-safe: the
+    area–length rule does NOT cancel anisotropic spacing, so EF itself
+    changes when pixels aren't square.  Without spacing, voxel units.
     """
     import jax
     from gdkvm_tpu.data.camus import CamusDataset
@@ -359,7 +493,7 @@ def camus_ef(cfg, model, params, split: str = "val",
         predict_fn = lambda frames: np.asarray(jax.device_get(
             _jit_predict(params, jax.device_put(frames))))
 
-    # patient → view → (pred masks, gt masks, valid)
+    # patient → view → (pred masks, gt masks, valid, spacing)
     per_patient: Dict[str, Dict[str, tuple]] = defaultdict(dict)
     idxs = list(range(len(ds)))
     for lo in range(0, len(idxs), batch_size):
@@ -372,15 +506,21 @@ def camus_ef(cfg, model, params, split: str = "val",
             m = _CLIP_RE.match(ds.clips[i])
             if not m:
                 continue
+            sp = ds.spacing(i) if hasattr(ds, "spacing") else None
             per_patient[m.group(1)][m.group(2).upper()] = (
-                preds[j], items[j][1], items[j][2])
+                preds[j], items[j][1], items[j][2], sp)
 
-    def _ef_from(masks_by_view, use_pred: bool) -> Optional[float]:
+    def _ef_from(masks_by_view, use_pred: bool
+                 ) -> Optional[Tuple[float, float, float, bool]]:
+        """(EF%, V_ED, V_ES, physical): volumes in mm³ when both views
+        declare spacing (physical=True), voxel units otherwise."""
         stats = {}
+        physical = True
         for view in ("2CH", "4CH"):
             if view not in masks_by_view:
                 return None
-            pred, gt, valid = masks_by_view[view]
+            pred, gt, valid, sp = masks_by_view[view]
+            physical = physical and sp is not None
             ann = np.nonzero(valid > 0)[0]
             if ann.size == 0:
                 return None
@@ -388,26 +528,42 @@ def camus_ef(cfg, model, params, split: str = "val",
             per_phase = {}
             for phase, t in (("ED", int(ann[0])), ("ES", int(ann[-1]))):
                 lv = maps[t] == 1
-                per_phase[phase] = (float(lv.sum()), lv_long_axis_px(lv))
+                per_phase[phase] = (lv, sp)
             stats[view] = per_phase
-        v_ed = biplane_volume(stats["2CH"]["ED"][0], stats["4CH"]["ED"][0],
-                              stats["2CH"]["ED"][1], stats["4CH"]["ED"][1])
-        v_es = biplane_volume(stats["2CH"]["ES"][0], stats["4CH"]["ES"][0],
-                              stats["2CH"]["ES"][1], stats["4CH"]["ES"][1])
-        return ef_from_volumes(v_ed, v_es)
+        vols = {}
+        for phase in ("ED", "ES"):
+            m2, sp2 = stats["2CH"][phase]
+            m4, sp4 = stats["4CH"][phase]
+            use2 = sp2 if physical else None
+            use4 = sp4 if physical else None
+            vols[phase] = biplane_volume(
+                lv_area(m2, use2), lv_area(m4, use4),
+                lv_long_axis_px(m2, use2), lv_long_axis_px(m4, use4))
+        return (ef_from_volumes(vols["ED"], vols["ES"]),
+                vols["ED"], vols["ES"], physical)
 
     per_pat = []
+    n_physical = 0
     for pid in sorted(per_patient):
         if max_patients is not None and len(per_pat) >= max_patients:
             break
-        ef_p = _ef_from(per_patient[pid], use_pred=True)
-        ef_r = _ef_from(per_patient[pid], use_pred=False)
-        if ef_p is None or ef_r is None:
+        res_p = _ef_from(per_patient[pid], use_pred=True)
+        res_r = _ef_from(per_patient[pid], use_pred=False)
+        if res_p is None or res_r is None:
             continue
-        per_pat.append({"patient": pid, "ef_pred": ef_p, "ef_ref": ef_r})
+        ef_p, v_ed, v_es, physical = res_p
+        rec = {"patient": pid, "ef_pred": ef_p, "ef_ref": res_r[0]}
+        if physical:
+            rec["v_ed_ml"] = v_ed / MM3_PER_ML
+            rec["v_es_ml"] = v_es / MM3_PER_ML
+            n_physical += 1
+        per_pat.append(rec)
 
     out: Dict = {"protocol": "camus_ef_biplane_simpson", "split": split,
-                 "n_patients": len(per_pat), "per_patient": per_pat}
+                 "n_patients": len(per_pat), "per_patient": per_pat,
+                 "volume_units": ("mL" if per_pat
+                                  and n_physical == len(per_pat)
+                                  else "voxel")}
     if per_pat:
         pred = np.array([r["ef_pred"] for r in per_pat])
         ref = np.array([r["ef_ref"] for r in per_pat])
@@ -429,20 +585,39 @@ def camus_ef(cfg, model, params, split: str = "val",
 
 def read_ef_labels(root: str) -> Dict[str, float]:
     """EF column from FileList.csv (absent in minimal synthetic layouts)."""
+    return {name: rec["EF"] for name, rec in read_filelist_meta(root).items()
+            if "EF" in rec}
+
+
+def read_filelist_meta(root: str) -> Dict[str, Dict[str, float]]:
+    """Per-video numeric metadata from FileList.csv: EF and FPS (the real
+    EchoNet FileList carries FPS per video — ~50 typical but variable —
+    which the beat-aware EF segmentation needs to be frame-rate-correct).
+    Returns {video.avi: {"EF": ..., "FPS": ...}} with keys present only
+    when the column exists and parses."""
     import csv
 
-    out: Dict[str, float] = {}
+    out: Dict[str, Dict[str, float]] = {}
     path = os.path.join(root, "FileList.csv")
     if not os.path.exists(path):
         return out
     with open(path) as f:
         for row in csv.DictReader(f):
-            if "EF" not in row or row["EF"] in ("", None):
+            name = row.get("FileName")
+            if not name:
                 continue
-            name = row["FileName"]
             if not name.endswith(".avi"):
                 name += ".avi"
-            out[name] = float(row["EF"])
+            rec: Dict[str, float] = {}
+            for col in ("EF", "FPS"):
+                val = row.get(col)
+                if val not in ("", None):
+                    try:
+                        rec[col] = float(val)
+                    except ValueError:
+                        pass
+            if rec:
+                out[name] = rec
     return out
 
 
@@ -466,7 +641,7 @@ def echonet_ef(cfg, model, params, split: str = "VAL",
     ds = EchoNetDataset(cfg.data.data_path, split,
                         image_size=cfg.data.image_size,
                         clip_len=cfg.data.clip_len, num_classes=k)
-    ef_labels = read_ef_labels(cfg.data.data_path)
+    meta = read_filelist_meta(cfg.data.data_path)
     chunk = chunk or cfg.eval_stage.stream_chunk
 
     names = ds.videos[:num_videos] if num_videos else ds.videos
@@ -476,17 +651,24 @@ def echonet_ef(cfg, model, params, split: str = "VAL",
         masks = (segment_fn(vid, name) if segment_fn is not None
                  else stream_video(model, params, vid, chunk=chunk))
         lv = masks == 1
+        # EchoNet pixels are square (isotropic resize), so pixel-unit
+        # volumes are fine HERE: EF is a ratio and isotropic scaling
+        # cancels exactly (unlike anisotropic raw CAMUS — see camus_ef).
         vols = np.array([lv_volume_area_length(lv[t])
                          for t in range(lv.shape[0])])
         # Beat-aware EF (per-beat estimates averaged — the EchoNet
-        # protocol shape); falls back to global extremes on short traces.
-        ef_pred, n_beats = beatwise_ef(vols)
+        # protocol shape), frame-rate-aware via the video's FPS column;
+        # falls back to global extremes on short traces.
+        fps = meta.get(name, {}).get("FPS")
+        ef_pred, n_beats = beatwise_ef(vols, fps=fps)
         i_ed, i_es = detect_ed_es(vols)
         rec = {"video": name, "ef_pred": ef_pred, "beats": n_beats,
                "frame_ed": i_ed, "frame_es": i_es,
                "frames": int(vid.shape[0])}
-        if name in ef_labels:
-            rec["ef_true"] = ef_labels[name]
+        if fps is not None:
+            rec["fps"] = fps
+        if "EF" in meta.get(name, {}):
+            rec["ef_true"] = meta[name]["EF"]
         per_video.append(rec)
 
     scored = [(r["ef_pred"], r["ef_true"])

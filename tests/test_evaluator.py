@@ -115,6 +115,16 @@ def test_hd95_metric_math():
     missing = M.hd95(a, np.zeros_like(a), 2)
     assert np.isinf(missing["hd95_class1"])
     assert M.hd95(np.zeros_like(a), np.zeros_like(a), 2) == {}
+    # Physical spacing: scalar mm/px scales the distance; an (sy, sx)
+    # pair is applied per axis through the EDT sampling, so a pure
+    # x-shift scales with sx only (anisotropic-exactness for raw CAMUS).
+    assert abs(M.hd95(a, b, 2, spacing=0.5)["hd95_class1"] - 1.0) < 1e-6
+    aniso = M.hd95(a, b, 2, spacing=(0.7, 0.25))["hd95_class1"]
+    assert abs(aniso - 2.0 * 0.25) < 1e-6
+    c = np.zeros((32, 32), np.int64)
+    c[11:19, 8:16] = 1                             # 3-px y-shift of a
+    aniso_y = M.hd95(a, c, 2, spacing=(0.7, 0.25))["hd95_class1"]
+    assert abs(aniso_y - 3.0 * 0.7) < 1e-6
 
 
 def test_temporal_consistency_metric_math():

@@ -29,6 +29,64 @@ def test_volume_area_length_scales_cubically():
     assert parity.lv_volume_area_length(np.zeros((8, 8), bool)) == 0.0
 
 
+def test_long_axis_physical_spacing():
+    """Anisotropic spacing changes BOTH the axis direction and its length:
+    a pixel-tall mask whose physical pixels are short in y can have its
+    true long axis along x."""
+    yy, xx = np.mgrid[0:128, 0:128]
+    m = ((yy - 64) / 40.0) ** 2 + ((xx - 64) / 15.0) ** 2 <= 1.0
+    # Isotropic spacing scales the pixel answer linearly.
+    iso = parity.lv_long_axis_px(m, spacing=(0.5, 0.5))
+    assert iso == pytest.approx(parity.lv_long_axis_px(m) * 0.5, rel=1e-9)
+    # sy ≪ sx: physically the mask is 80·0.1=8 mm tall, 30·1.0=30 mm wide
+    # — the long axis flips to x.
+    flipped = parity.lv_long_axis_px(m, spacing=(0.1, 1.0))
+    assert abs(flipped - 30.0) < 2.0
+
+
+def test_volume_physical_units_ml():
+    """V = 8A²/(3πL) in mm³ under (sy,sx) spacing: isotropic s scales the
+    pixel-unit volume by s³ (A² ∝ s⁴, L ∝ s)."""
+    m = _disk(256, 256, 128, 128, 30)
+    v_px = parity.lv_volume_area_length(m)
+    v_mm = parity.lv_volume_area_length(m, spacing=(0.5, 0.5))
+    assert v_mm == pytest.approx(v_px * 0.5 ** 3, rel=1e-6)
+    assert parity.MM3_PER_ML == 1000.0
+    # Anisotropic spacing does NOT cancel in EF: squash y by 2× and EF
+    # inputs change by more than a common factor (ratio of two volumes at
+    # different shapes differs between px and mm scoring).
+    m2 = _disk(256, 256, 128, 128, 20)
+    r_px = parity.lv_volume_area_length(m) / parity.lv_volume_area_length(m2)
+    r_mm = (parity.lv_volume_area_length(m, spacing=(0.5, 1.0))
+            / parity.lv_volume_area_length(m2, spacing=(0.5, 1.0)))
+    # Disks stay self-similar, so the ratio is preserved here…
+    assert r_mm == pytest.approx(r_px, rel=1e-6)
+    # …but an eccentric mask vs a disk is not: anisotropy reweights them.
+    yy, xx = np.mgrid[0:256, 0:256]
+    ell = ((yy - 128) / 60.0) ** 2 + ((xx - 128) / 15.0) ** 2 <= 1.0
+    r_px = (parity.lv_volume_area_length(ell)
+            / parity.lv_volume_area_length(m2))
+    r_mm = (parity.lv_volume_area_length(ell, spacing=(0.25, 1.0))
+            / parity.lv_volume_area_length(m2, spacing=(0.25, 1.0)))
+    assert abs(r_mm - r_px) / r_px > 0.05
+
+
+def test_beatwise_ef_fps_aware():
+    """The beat-separation window is a TIME, not a frame count: the same
+    trace declared at a high FPS (so 0.3 s spans more frames than the
+    trace) falls back to single-beat, while the true FPS segments it."""
+    t = np.arange(72)
+    vols = 100 + 40 * np.cos(2 * np.pi * t / 24.0)   # beats every 24 frames
+    ef_native, n_native = parity.beatwise_ef(vols, smooth=1, fps=25.0)
+    assert n_native >= 2
+    assert ef_native == pytest.approx(100 * (140 - 60) / 140, abs=1.5)
+    _, n_fast = parity.beatwise_ef(vols, smooth=1, fps=2000.0)
+    assert n_fast == 1
+    # Without fps the legacy fixed-frame rule applies unchanged.
+    ef_legacy, n_legacy = parity.beatwise_ef(vols, smooth=1)
+    assert n_legacy >= 2 and ef_legacy == pytest.approx(ef_native, abs=1e-9)
+
+
 def test_detect_ed_es_on_sine_trace():
     t = np.arange(48)
     vols = 100 + 40 * np.cos(2 * np.pi * t / 24.0)   # beats at t=0,24
@@ -99,6 +157,10 @@ def test_camus_protocol_exact_on_ground_truth(tmp_path):
                     assert cell["hd95_mean"] == pytest.approx(0.0)
     assert "| View | Structure |" in res["table"]
     assert res["dice_mean_overall"] == pytest.approx(1.0, abs=1e-6)
+    # The synthetic materializer declares physical spacing, so the run
+    # scores HD95 in millimetres — the paper-table unit (VERDICT r2 #1).
+    assert res["hd95_units"] == "mm"
+    assert "HD95 ED (mm)" in res["table"]
 
 
 def test_camus_protocol_with_model(tmp_path):
@@ -183,6 +245,54 @@ def test_beatwise_ef_multibeat_trace():
     assert n1 == 1 and ef1 > 0
 
 
+def test_camus_fold_rule():
+    from gdkvm_tpu.data.camus_raw import camus_fold
+    # Balanced deterministic assignment: 500 patients → 50 per fold.
+    counts = np.zeros(10, int)
+    for i in range(1, 501):
+        counts[camus_fold(f"patient{i:04d}", 10)] += 1
+    assert (counts == 50).all()
+    assert camus_fold("patient0001", 10) == 0
+    assert camus_fold("patient0011", 10) == 0
+    assert camus_fold("patient0010", 10) == 9
+
+
+def test_camus_kfold_protocol(tmp_path):
+    """k-fold aggregation: every patient scored exactly once across folds,
+    GT exactness holds per fold, headline is mean±std over folds."""
+    cfg = _camus_cfg(tmp_path)
+    from gdkvm_tpu.data.camus import CamusDataset
+    ds = CamusDataset(cfg.data.data_path, "val", image_size=64,
+                      clip_len=6, num_classes=4)
+    gt = {i: ds[i][1] for i in range(len(ds))}
+    order = {"seen": []}
+
+    def predict_fn(frames):
+        # The fold runs re-enumerate the dataset; mirror camus_official's
+        # sequential-chunk order within each fold call by replaying GT in
+        # dataset order filtered per call — easiest exact oracle: look the
+        # clip up by frame content.
+        out = []
+        for f in frames:
+            match = next(i for i in gt
+                         if np.array_equal(ds[i][0], f))
+            out.append(gt[match])
+            order["seen"].append(match)
+        return np.stack(out)
+
+    res = parity.camus_official_folds(cfg, model=None, params=None,
+                                      folds=2, split="val",
+                                      predict_fn=predict_fn, batch_size=2)
+    assert res["n_folds_scored"] == 2
+    assert res["dice_mean_overall"] == pytest.approx(1.0, abs=1e-6)
+    assert res["dice_std_over_folds"] == pytest.approx(0.0, abs=1e-6)
+    # Each patient lands in exactly one fold; all patients covered.
+    assert res["n_patients"] == 2
+    assert "mean ± std" in res["table"]
+    assert res["hd95_units"] == "mm"
+    assert res["hd95_mean_overall"] == pytest.approx(0.0)
+
+
 def test_biplane_volume_rules():
     # Sphere-ish sanity: equal views, V = 8 A² / (3πL).
     v = parity.biplane_volume(100.0, 100.0, 20.0, 25.0)
@@ -211,3 +321,6 @@ def test_camus_ef_exact_on_ground_truth(tmp_path):
     assert res["n_patients"] >= 1
     assert res["ef_mae"] == pytest.approx(0.0, abs=1e-9)
     assert all(0 <= r["ef_ref"] <= 100 for r in res["per_patient"])
+    # Declared spacing ⇒ biplane volumes reported in mL per patient.
+    assert res["volume_units"] == "mL"
+    assert all(r["v_ed_ml"] > 0 for r in res["per_patient"])
