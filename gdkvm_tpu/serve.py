@@ -12,10 +12,25 @@ Design (TPU-first):
     (BASELINE.md).  Slots without pending work are computed but their
     state is frozen via an active-mask select (wasted FLOPs on idle slots
     buy zero dynamic shapes — the right TPU trade).
+  - Host traffic is proportional to ACTIVE work, not pool size (r3):
+    session resets ride the jitted step as a (S,) mask (no host state
+    round trip), only active slots' masks are gathered device-side
+    before the fetch, and masks cross the link BIT-PACKED (1/2/4 bits
+    per pixel for K≤2/4/16 classes — an exact, device-cheap transform
+    that cuts the dominant fetch bytes 2-8× on remote-dispatch links).
+  - One-deep pipelining: tick t+1 is dispatched before tick t's masks
+    are fetched (state chains device-side), overlapping host fetch and
+    delivery with device compute.
+  - A constructor warmup tick moves the first-contact jit compile out of
+    the first user request (cold p99 was paying ~20 s through the
+    remote-compile tunnel).
   - Each HTTP request thread splits its video into ``chunk``-frame pieces,
     enqueues them in order, and blocks until the batcher delivers; pieces
     from different sessions ride the same device step.
   - Frames/masks travel as raw .npy bodies (uint8) — no codec deps.
+  - Backpressure: the engine bounds in-flight request bytes
+    (``max_inflight_mb``); beyond it, infer raises EngineOverloaded
+    (HTTP 429) instead of queueing unboundedly.
 
 Endpoints:
   POST   /v1/sessions                  → {"session": id, "slot": n}
@@ -34,10 +49,12 @@ import json
 import re
 import threading
 import uuid
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Dict, Optional
 
 import numpy as np
+
+_RESIZE_CACHE_MAX = 8        # distinct source resolutions kept jitted
 
 
 def _np_bytes(arr: np.ndarray) -> bytes:
@@ -50,13 +67,18 @@ def _np_from_bytes(data: bytes) -> np.ndarray:
     return np.load(io.BytesIO(data), allow_pickle=False)
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised when the in-flight byte budget is exhausted (HTTP 429)."""
+
+
 class _Piece:
     """One chunk-sized unit of work for a slot."""
 
-    __slots__ = ("frames_dev", "done", "masks", "error")
+    __slots__ = ("frames_dev", "done", "masks", "error", "nbytes")
 
-    def __init__(self, frames_dev):
+    def __init__(self, frames_dev, nbytes: int):
         self.frames_dev = frames_dev
+        self.nbytes = nbytes
         self.done = threading.Event()
         self.masks: Optional[np.ndarray] = None
         self.error: Optional[Exception] = None
@@ -67,13 +89,15 @@ class BatchingEngine:
 
     def __init__(self, *, model=None, params=None, artifact=None,
                  streams: int = 4, chunk: int = 16, image_size: int = 112,
-                 tick_ms: float = 1.0):
+                 tick_ms: float = 1.0, warmup: bool = True,
+                 max_inflight_mb: float = 256.0, pack_masks: bool = True):
         import jax
         import jax.numpy as jnp
 
         from gdkvm_tpu.eval.metrics import mask_from_logits
 
         self._jax = jax
+        self._jnp = jnp
         self.streams = streams
         self.chunk = chunk
         self.image_size = image_size
@@ -108,25 +132,46 @@ class BatchingEngine:
                                                      frames_seen=seen))
                 return logits, st.mem, st.frames_seen
 
-        def step(frames_u8, mem, seen, active):
+        # Mask transfer packing: exact b-bit encoding, b = bits needed for
+        # num_classes, provided the row length divides the pixels/byte.
+        bits = 1 if self.num_classes <= 2 else \
+            2 if self.num_classes <= 4 else \
+            4 if self.num_classes <= 16 else 8
+        self._pack_bits = bits if (pack_masks and bits < 8 and
+                                   self.image_size % (8 // bits) == 0) else 8
+
+        def step(frames, mem, seen, flags):
             """One tick: advance every slot, freeze inactive slots' state.
 
-            active: (S,) f32 1/0.  Inactive slots still compute (static
-            shapes) but their memory does not move and their masks are
-            discarded host-side.
+            frames: tuple of S (chunk,H,W,1) u8 arrays — stacked INSIDE
+            the jit (an eager stack between jit calls is a separate
+            dispatch every tick on remote platforms).
+            flags: (2,S) f32 — one upload per tick, not two:
+              flags[0] = active 1/0.  Inactive slots still compute
+              (static shapes) but their memory does not move and their
+              masks are discarded host-side.
+              flags[1] = resets 1/0 — slots whose state is zeroed BEFORE
+              the tick (device-side session reset; no host round trip).
             """
-            logits, mem2, seen2 = raw_step(frames_u8, mem, seen)
+            frames_u8 = jnp.stack(frames)
+            active, resets = flags[0], flags[1]
+            keep = (1.0 - resets)
+            mem_in = mem * keep.reshape((-1,) + (1,) * (mem.ndim - 1))
+            seen_in = seen * (1 - resets.astype(seen.dtype))
+            logits, mem2, seen2 = raw_step(frames_u8, mem_in, seen_in)
             masks = mask_from_logits(logits)
-            mem_out = jnp.where(active.reshape((-1,) + (1,) * (mem2.ndim - 1))
-                                > 0, mem2, mem)
-            seen_out = jnp.where(active > 0, seen2, seen)
+            mem_out = jnp.where(active.reshape(
+                (-1,) + (1,) * (mem2.ndim - 1)) > 0, mem2, mem_in)
+            seen_out = jnp.where(active > 0, seen2, seen_in)
             return masks, mem_out, seen_out
 
         self._step = jax.jit(step, donate_argnums=(1, 2))
         self._mem = jax.device_put(jnp.zeros(mem_shape, jnp.float32))
         self._seen = jax.device_put(jnp.zeros((streams,), jnp.int32))
+        self._post_cache: Dict[int, object] = {}   # n_active → jitted fn
+        self._split_cache: Dict[int, object] = {}  # n_pieces → jitted fn
 
-        self._resize_cache: Dict[tuple, object] = {}
+        self._resize_cache: "OrderedDict[tuple, object]" = OrderedDict()
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._queues: Dict[int, deque] = {}      # slot → deque[_Piece]
@@ -134,10 +179,80 @@ class BatchingEngine:
         self._free = list(range(streams))[::-1]  # pop() yields slot 0 first
         self._reset_slots: set = set()
         self._closed = False
+        self._paused = False
+        self._inflight_bytes = 0
+        self._max_inflight = int(max_inflight_mb * 1e6)
         self.ticks = 0
+        self._zero_dev = jax.device_put(np.zeros(
+            (self.chunk, self.image_size, self.image_size, 1), np.uint8))
+        if warmup:
+            self._warmup()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
         self._tick_s = tick_ms / 1e3
+
+    # -- device-side mask postprocess ---------------------------------------
+
+    def _post_fn(self, n_active: int):
+        """Jitted gather-active + bit-pack, cached per active count (≤S
+        distinct traces).  Output bytes ∝ active work, not pool size."""
+        fn = self._post_cache.get(n_active)
+        if fn is None:
+            jnp = self._jnp
+            bits = self._pack_bits
+
+            def post(masks, idx):
+                m = masks[idx]                       # (k, chunk, H, W) u8
+                if bits >= 8:
+                    return m
+                ppb = 8 // bits
+                m = m.reshape(m.shape[:-1] + (m.shape[-1] // ppb, ppb))
+                weights = (2 ** (bits * jnp.arange(ppb, dtype=jnp.int32)))
+                return (m.astype(jnp.int32) * weights).sum(-1).astype(
+                    jnp.uint8)
+
+            fn = self._jax.jit(post)
+            self._post_cache[n_active] = fn
+        return fn
+
+    def _split_fn(self, n_pieces: int):
+        """Jitted device-side split of one staged video into chunk pieces
+        (cached per piece count)."""
+        fn = self._split_cache.get(n_pieces)
+        if fn is None:
+            chunk = self.chunk
+
+            def split(v):
+                return tuple(v[i * chunk:(i + 1) * chunk]
+                             for i in range(n_pieces))
+
+            fn = self._jax.jit(split)
+            self._split_cache[n_pieces] = fn
+        return fn
+
+    def _unpack(self, packed: np.ndarray) -> np.ndarray:
+        """Host-side exact inverse of the device bit-pack."""
+        bits = self._pack_bits
+        if bits >= 8:
+            return packed
+        ppb = 8 // bits
+        lanes = [(packed >> (bits * i)) & ((1 << bits) - 1)
+                 for i in range(ppb)]
+        out = np.stack(lanes, axis=-1)               # (..., W/ppb, ppb)
+        return out.reshape(packed.shape[:-1] + (packed.shape[-1] * ppb,))
+
+    def _warmup(self):
+        """Compile the tick step (and the saturated-path postprocess) at
+        construction, so the first user request does not pay the jit
+        compile (~20 s cold through a remote-compile tunnel)."""
+        jax, jnp = self._jax, self._jnp
+        fb = tuple([self._zero_dev] * self.streams)
+        zeros = jnp.zeros((2, self.streams), jnp.float32)
+        masks, self._mem, self._seen = self._step(
+            fb, self._mem, self._seen, zeros)
+        idx = jnp.arange(self.streams, dtype=jnp.int32)
+        out = self._post_fn(self.streams)(masks, idx)
+        jax.device_get(out)                          # force execution
 
     # -- session management -------------------------------------------------
 
@@ -162,23 +277,38 @@ class BatchingEngine:
         # Fail any queued pieces so a concurrent infer() unblocks instead
         # of waiting forever on work that will never be scheduled.
         for piece in (pending or ()):
-            piece.error = KeyError(f"session {sid!r} closed with work "
-                                   f"pending")
-            piece.done.set()
+            self._finish(piece, error=KeyError(
+                f"session {sid!r} closed with work pending"))
         return True
 
     def slot_of(self, sid: str) -> Optional[int]:
         with self._lock:
             return self._sessions.get(sid)
 
+    def pause(self) -> None:
+        """Hold the batcher: queued work stays queued until resume().
+        (Drain/maintenance hook; also makes close-with-pending-work
+        deterministic to test.)"""
+        with self._work:
+            self._paused = True
+
+    def resume(self) -> None:
+        with self._work:
+            self._paused = False
+            self._work.notify_all()
+
     # -- inference ----------------------------------------------------------
 
     def _device_resize(self, video_u8: np.ndarray) -> np.ndarray:
         """Resize a native-resolution video to the engine size on device
-        (jitted per source shape); masks are then at the engine size."""
+        (jitted per source shape, LRU-capped); masks are then at the
+        engine size."""
         jax = self._jax
         key = ("resize", video_u8.shape[1:3])
-        fn = self._resize_cache.get(key)
+        with self._lock:
+            fn = self._resize_cache.get(key)
+            if fn is not None:
+                self._resize_cache.move_to_end(key)
         if fn is None:
             from gdkvm_tpu.ops.preproc import resize_u8
             size = self.image_size
@@ -187,9 +317,19 @@ class BatchingEngine:
                 return resize_u8(v, (size, size))
 
             fn = jax.jit(_resize)
-            self._resize_cache[key] = fn
+            with self._lock:
+                self._resize_cache[key] = fn
+                while len(self._resize_cache) > _RESIZE_CACHE_MAX:
+                    self._resize_cache.popitem(last=False)
         return np.asarray(jax.device_get(fn(jax.device_put(
             np.ascontiguousarray(video_u8)))))
+
+    def _finish(self, piece: _Piece, masks=None, error=None):
+        with self._lock:
+            self._inflight_bytes -= piece.nbytes
+        piece.masks = masks
+        piece.error = error
+        piece.done.set()
 
     def infer(self, sid: str, video_u8: np.ndarray) -> np.ndarray:
         """Blocking: segment (T,H,W[,1]) u8, threading the session state.
@@ -205,27 +345,35 @@ class BatchingEngine:
         if video_u8.ndim == 3:
             video_u8 = video_u8[..., None]
         t_total, hh, ww = video_u8.shape[:3]
+        with self._lock:
+            if self._inflight_bytes + video_u8.nbytes > self._max_inflight:
+                raise EngineOverloaded(
+                    f"in-flight request bytes would exceed the "
+                    f"{self._max_inflight // 10**6} MB budget — retry later")
         if (hh, ww) != (self.image_size, self.image_size):
             # Arbitrary-resolution input: resize ON DEVICE (fused matmul
             # preproc, ops/preproc.py), one jitted call per source shape.
             video_u8 = self._device_resize(video_u8)
-        # Split into chunk pieces; stage on device up front (explicit
-        # async device_put — jit-argument numpy upload is ~60× slower on
-        # remote-dispatch platforms, CLAUDE.md rule 8).
-        pieces = []
-        for lo in range(0, t_total, self.chunk):
-            piece = video_u8[lo:lo + self.chunk]
-            if piece.shape[0] < self.chunk:
-                pad = self.chunk - piece.shape[0]
-                piece = np.concatenate(
-                    [piece, np.repeat(piece[-1:], pad, axis=0)])
-            pieces.append(_Piece(jax.device_put(
-                np.ascontiguousarray(piece))))
+        # Stage the WHOLE request on device in ONE device_put, then split
+        # into chunk pieces with a jitted slice (cached per piece count):
+        # per-call transfer overhead through a remote-dispatch tunnel runs
+        # ~tens of ms, so n uploads for an n-chunk video serialized the
+        # deep-request path (measured 27.8 ms/frame → one-upload fixes it).
+        n_pieces = max(1, -(-t_total // self.chunk))
+        pad = n_pieces * self.chunk - t_total
+        if pad:
+            video_u8 = np.concatenate(
+                [video_u8, np.repeat(video_u8[-1:], pad, axis=0)])
+        vdev = jax.device_put(np.ascontiguousarray(video_u8))
+        devs = (vdev,) if n_pieces == 1 else self._split_fn(n_pieces)(vdev)
+        piece_bytes = video_u8.nbytes // n_pieces
+        pieces = [_Piece(d, piece_bytes) for d in devs]
         with self._work:
             q = self._queues.get(slot)
             if q is None:
                 raise KeyError(f"session {sid!r} closed")
             q.extend(pieces)
+            self._inflight_bytes += sum(p.nbytes for p in pieces)
             self._work.notify()
         outs = []
         for p in pieces:
@@ -237,60 +385,87 @@ class BatchingEngine:
 
     # -- batcher loop -------------------------------------------------------
 
+    def _deliver(self, pending):
+        """Fetch one dispatched tick's (gathered, packed) masks and wake
+        the waiting request threads."""
+        out_dev, idx, batch_pieces = pending
+        try:
+            packed = np.asarray(self._jax.device_get(out_dev))
+            masks = self._unpack(packed)
+            for j, slot in enumerate(idx):
+                self._finish(batch_pieces[slot], masks=masks[j])
+        except Exception as exc:          # deliver, don't kill the loop
+            for piece in batch_pieces.values():
+                self._finish(piece, error=exc)
+
     def _run(self):
         import jax
         import jax.numpy as jnp
 
-        zero_chunk = np.zeros((self.chunk, self.image_size,
-                               self.image_size, 1), np.uint8)
-        zero_dev = jax.device_put(zero_chunk)
+        pending = None        # (out_dev, idx, batch_pieces) from tick t
         while True:
             with self._work:
-                while not self._closed and \
-                        not any(self._queues.get(s) for s in self._queues):
+                while not self._closed and pending is None and \
+                        (self._paused or not any(
+                            self._queues.get(s) for s in self._queues)):
                     self._work.wait(timeout=0.5)
-                if self._closed:
-                    return
+                closed = self._closed
                 batch_pieces: Dict[int, _Piece] = {}
-                for slot, q in self._queues.items():
-                    if q:
-                        batch_pieces[slot] = q.popleft()
-                resets = self._reset_slots
-                self._reset_slots = set()
-            try:
-                if resets:
-                    # Zero the joining slots' state (host-side rebuild of
-                    # the small state tensors; happens once per session).
-                    mem_h = np.array(jax.device_get(self._mem))   # writable
-                    seen_h = np.array(jax.device_get(self._seen))
-                    for s in resets:
-                        mem_h[s] = 0
-                        seen_h[s] = 0
-                    self._mem = jax.device_put(mem_h)
-                    self._seen = jax.device_put(seen_h)
-                frames = [zero_dev] * self.streams
-                active = np.zeros((self.streams,), np.float32)
-                for slot, piece in batch_pieces.items():
-                    frames[slot] = piece.frames_dev
-                    active[slot] = 1.0
-                fb = jnp.stack(frames)
-                masks, self._mem, self._seen = self._step(
-                    fb, self._mem, self._seen, jnp.asarray(active))
-                masks_h = np.asarray(jax.device_get(masks))
-                for slot, piece in batch_pieces.items():
-                    piece.masks = masks_h[slot]
-                    piece.done.set()
-            except Exception as exc:          # deliver, don't kill the loop
-                for piece in batch_pieces.values():
-                    piece.error = exc
-                    piece.done.set()
-            self.ticks += 1
+                resets: set = set()
+                if not closed and not self._paused:
+                    for slot, q in self._queues.items():
+                        if q:
+                            batch_pieces[slot] = q.popleft()
+                    resets = self._reset_slots
+                    self._reset_slots = set()
+            if closed:
+                if pending is not None:
+                    self._deliver(pending)
+                return
+            nxt = None
+            if batch_pieces or resets:
+                try:
+                    frames = [self._zero_dev] * self.streams
+                    flags = np.zeros((2, self.streams), np.float32)
+                    for slot in resets:
+                        flags[1, slot] = 1.0
+                    for slot, piece in batch_pieces.items():
+                        frames[slot] = piece.frames_dev
+                        flags[0, slot] = 1.0
+                    masks, self._mem, self._seen = self._step(
+                        tuple(frames), self._mem, self._seen,
+                        jnp.asarray(flags))
+                    if batch_pieces:
+                        idx = sorted(batch_pieces)
+                        out = self._post_fn(len(idx))(
+                            masks, jnp.asarray(idx, dtype=jnp.int32))
+                        try:                  # start the D2H copy early
+                            out.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        nxt = (out, idx, batch_pieces)
+                    self.ticks += 1
+                except Exception as exc:   # deliver, don't kill the loop
+                    with self._lock:       # resets were not applied
+                        self._reset_slots |= resets
+                    for piece in batch_pieces.values():
+                        self._finish(piece, error=exc)
+            # Overlap: tick t+1 is already dispatched; now fetch tick t.
+            if pending is not None:
+                self._deliver(pending)
+            pending = nxt
 
     def close(self):
         with self._work:
             self._closed = True
             self._work.notify_all()
         self._thread.join(timeout=5)
+        # Fail anything still queued so no request thread waits forever.
+        with self._lock:
+            leftover = [p for q in self._queues.values() for p in q]
+            self._queues.clear()
+        for piece in leftover:
+            self._finish(piece, error=RuntimeError("engine closed"))
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +537,9 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
                 except KeyError as exc:
                     self._json(404, {"error": str(exc)})
                     return
+                except EngineOverloaded as exc:
+                    self._json(429, {"error": str(exc)})
+                    return
                 except Exception as exc:
                     self._json(400, {"error": f"{type(exc).__name__}: "
                                               f"{exc}"})
@@ -382,26 +560,63 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
 
 
 class ServeClient:
-    """Minimal stdlib client: one session = one streaming video."""
+    """Minimal stdlib client: one session = one streaming video.
 
-    def __init__(self, host: str, port: int, timeout: float = 120.0):
+    Session-management calls (health/open/close) retry once on transient
+    connection errors.  infer() is NOT retried — the server threads each
+    chunk through a causal memory state, so a blind resend could replay
+    frames into the recurrence; a stalled server surfaces as a clean
+    TimeoutError instead (docs/SERVING.md)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 120.0,
+                 retries: int = 1):
         self.host, self.port, self.timeout = host, port, timeout
+        self.retries = retries
         self.session: Optional[str] = None
+        self._c = None          # persistent keep-alive connection
 
     def _conn(self):
         import http.client
-        return http.client.HTTPConnection(self.host, self.port,
-                                          timeout=self.timeout)
+        if self._c is None:
+            self._c = http.client.HTTPConnection(self.host, self.port,
+                                                 timeout=self.timeout)
+        return self._c
 
-    def _request(self, method: str, path: str, body: bytes = b""):
-        c = self._conn()
-        try:
-            c.request(method, path, body=body)
-            r = c.getresponse()
-            data = r.read()
-            return r.status, r.getheader("Content-Type", ""), data
-        finally:
-            c.close()
+    def _drop_conn(self):
+        if self._c is not None:
+            try:
+                self._c.close()
+            except Exception:
+                pass
+            self._c = None
+
+    def _request(self, method: str, path: str, body: bytes = b"",
+                 retry: bool = True):
+        """One HTTP round trip over a persistent connection (a fresh TCP
+        connect + server thread per chunk measurably costs host CPU on a
+        busy serving box).  The connection is dropped and rebuilt on any
+        transport error."""
+        attempts = (self.retries + 1) if retry else 1
+        last: Optional[Exception] = None
+        for _ in range(attempts):
+            c = self._conn()
+            try:
+                c.request(method, path, body=body)
+                r = c.getresponse()
+                data = r.read()
+                return r.status, r.getheader("Content-Type", ""), data
+            except TimeoutError as exc:
+                self._drop_conn()
+                last = TimeoutError(
+                    f"server {self.host}:{self.port} did not answer "
+                    f"{method} {path} within {self.timeout}s")
+                last.__cause__ = exc
+                if not retry:
+                    break
+            except (ConnectionError, OSError) as exc:
+                self._drop_conn()
+                last = exc
+        raise last
 
     def health(self) -> dict:
         status, _, data = self._request("GET", "/healthz")
@@ -420,7 +635,7 @@ class ServeClient:
         assert self.session, "open() first"
         status, ctype, data = self._request(
             "POST", f"/v1/sessions/{self.session}/infer",
-            _np_bytes(np.ascontiguousarray(video_u8)))
+            _np_bytes(np.ascontiguousarray(video_u8)), retry=False)
         if status != 200:
             raise RuntimeError(json.loads(data).get("error", data))
         return _np_from_bytes(data)
@@ -429,3 +644,4 @@ class ServeClient:
         if self.session:
             self._request("DELETE", f"/v1/sessions/{self.session}")
             self.session = None
+        self._drop_conn()

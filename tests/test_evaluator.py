@@ -45,8 +45,9 @@ def test_evaluate_sharded_over_mesh(tiny_model):
 
 
 def test_prompted_streaming(tiny_model):
-    """stream_video with a first-frame prompt runs and differs from the
-    unprompted result (the prompt was written into the memory state)."""
+    """A first-frame prompt must actually enter the memory state and change
+    the model output (asserted on LOGITS, which move even for a random
+    init — an argmax comparison could pass vacuously; VERDICT r2 item 6)."""
     from gdkvm_tpu.eval.streaming import stream_video
     model, params = tiny_model
     video = np.random.default_rng(3).integers(0, 255, (12, 32, 32, 1),
@@ -57,9 +58,17 @@ def test_prompted_streaming(tiny_model):
     m_prompt = np.asarray(stream_video(model, params, video, chunk=4,
                                        prompt_mask=prompt))
     assert m_plain.shape == m_prompt.shape == (12, 32, 32)
-    assert (m_plain != m_prompt).any() or True  # shape/exec check; prompts
-    # must at least not corrupt later chunks:
+    # masks must stay well-formed through the prompted path:
     assert set(np.unique(m_prompt)).issubset({0, 1})
+    # Logits-level: the prompt write must perturb both the memory state
+    # and the readout of the very first chunk.
+    x = jnp.asarray(video[:4][None]).astype(jnp.float32) / 255.0
+    lg_plain, st_plain = model.apply(params, x, None, None)
+    lg_prompt, st_prompt = model.apply(params, x, None,
+                                       jnp.asarray(prompt)[None])
+    assert np.abs(np.asarray(st_prompt.mem) -
+                  np.asarray(st_plain.mem)).max() > 0
+    assert np.abs(np.asarray(lg_prompt) - np.asarray(lg_plain)).max() > 0
 
 
 def test_training_determinism():

@@ -183,13 +183,16 @@ def test_engine_arbitrary_resolution_input(small_model, engine):
 
 
 def test_close_session_fails_pending_pieces(small_model):
-    """Closing a session with queued work unblocks a waiting infer()."""
+    """Closing a session with queued work unblocks a waiting infer() with
+    a KeyError — deterministically: the batcher is paused so the queued
+    pieces cannot drain before the close lands (VERDICT r2 item 6)."""
     model, params = small_model
     eng = BatchingEngine(model=model, params=params, streams=1,
                          chunk=CHUNK, image_size=SIZE)
     try:
         sid = eng.open_session()["session"]
         done = {}
+        eng.pause()                      # hold ticks: work stays queued
 
         def run():
             try:
@@ -199,10 +202,111 @@ def test_close_session_fails_pending_pieces(small_model):
 
         t = threading.Thread(target=run)
         t.start()
+        # Wait until the pieces are actually enqueued, then close.
+        for _ in range(100):
+            with eng._lock:
+                if eng._queues.get(0):
+                    break
+            import time
+            time.sleep(0.05)
         eng.close_session(sid)
+        eng.resume()
         t.join(timeout=30)
         assert not t.is_alive()
-        # Either it finished before the close landed, or it got the error.
-        assert "err" in done or True
+        assert isinstance(done.get("err"), KeyError)
     finally:
         eng.close()
+
+
+def test_engine_pack_unpack_round_trip(small_model, engine):
+    """Device bit-pack → host unpack is exact for every class count."""
+    import jax.numpy as jnp
+    for k in (2, 3, 4, 7, 16):
+        bits = 1 if k <= 2 else 2 if k <= 4 else 4
+        eng_bits = engine._pack_bits
+        engine._pack_bits = bits
+        engine._post_cache.clear()
+        rng = np.random.default_rng(k)
+        masks = rng.integers(0, k, (3, CHUNK, SIZE, SIZE)).astype(np.uint8)
+        idx = jnp.asarray([0, 2], dtype=jnp.int32)
+        packed = np.asarray(jax.device_get(
+            engine._post_fn(2)(jnp.asarray(masks), idx)))
+        assert packed.shape[-1] == SIZE * bits // 8
+        got = engine._unpack(packed)
+        np.testing.assert_array_equal(got, masks[[0, 2]])
+        engine._pack_bits = eng_bits
+        engine._post_cache.clear()
+
+
+def test_engine_overload_raises(small_model):
+    """Beyond the in-flight byte budget, infer raises EngineOverloaded
+    instead of queueing unboundedly."""
+    from gdkvm_tpu.serve import EngineOverloaded
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=1,
+                         chunk=CHUNK, image_size=SIZE,
+                         max_inflight_mb=0.01)   # 10 KB budget
+    try:
+        sid = eng.open_session()["session"]
+        eng.pause()
+        with pytest.raises(EngineOverloaded):
+            eng.infer(sid, _video(1, t=40))      # 40×48×48 ≈ 92 KB
+        eng.resume()
+        # Small requests still fit.
+        masks = eng.infer(sid, _video(1, t=2))
+        assert masks.shape == (2, SIZE, SIZE)
+    finally:
+        eng.close()
+
+
+def test_http_overload_429(small_model):
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=1,
+                         chunk=CHUNK, image_size=SIZE,
+                         max_inflight_mb=0.01)
+    srv = make_server(eng, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = srv.server_address
+        c = ServeClient(host, port)
+        c.open()
+        eng.pause()
+        with pytest.raises(RuntimeError, match="budget"):
+            c.infer(_video(2, t=40))
+        eng.resume()
+        c.close()
+    finally:
+        srv.shutdown()
+        eng.close()
+
+
+def test_client_timeout_raises_cleanly():
+    """A stalled server surfaces as TimeoutError, not a hang (VERDICT r2
+    item 10).  A bare listening socket that never answers stands in for
+    a stalled tick."""
+    import socket
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    try:
+        host, port = srv.getsockname()
+        c = ServeClient(host, port, timeout=0.5)
+        c.session = "deadbeef0000"
+        with pytest.raises(TimeoutError, match="did not answer"):
+            c.infer(np.zeros((2, SIZE, SIZE, 1), np.uint8))
+    finally:
+        srv.close()
+
+
+def test_resize_cache_capped(small_model, engine):
+    """Distinct source resolutions beyond the LRU cap evict the oldest
+    jitted resize instead of growing unboundedly."""
+    from gdkvm_tpu.serve import _RESIZE_CACHE_MAX
+    rng = np.random.default_rng(0)
+    sid = engine.open_session()["session"]
+    for i in range(_RESIZE_CACHE_MAX + 3):
+        video = rng.integers(0, 255, (2, 50 + 2 * i, 60, 1), np.uint8)
+        masks = engine.infer(sid, video)
+        assert masks.shape == (2, SIZE, SIZE)
+    assert len(engine._resize_cache) <= _RESIZE_CACHE_MAX
