@@ -73,7 +73,70 @@ _WORKER = textwrap.dedent("""
     with mesh:
         state, metrics = step(state, batch)
     loss = float(jax.device_get(metrics["loss"]))
+
+    # --- Sharded eval shard ACROSS processes (SURVEY §2.4 distributed
+    # eval): each process holds only its local half of the val batch; the
+    # Dice partial sums reduce exactly over the global mesh, so the final
+    # number must be identical on both ranks.
+    import jax.numpy as jnp
+    from gdkvm_tpu.eval import metrics as M
+
+    @jax.jit
+    def eval_part(params, frames_u8, masks, valid):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        logits, _ = model.apply(params, x)
+        return M.dice_accumulate(logits, masks.astype(jnp.int32), valid,
+                                 cfg.model.num_classes)
+
+    val = Batch(
+        frames=rng.integers(0, 255, (4, 2, 16, 16, 1), np.uint8),
+        masks=rng.integers(0, 2, (4, 2, 16, 16)).astype(np.uint8),
+        valid=np.ones((4, 2), np.float32),
+    )
+    val = jax.device_put(val, batch_sharding(mesh))
+    with mesh:
+        part = eval_part(state.params, val.frames, val.masks, val.valid)
+    dice = float(M.dice_finalize(jax.device_get(part))["dice_fg_mean"])
+
+    # --- Checkpoint save + abstract restore ACROSS processes: orbax saves
+    # are collective (every process writes its addressable shards; the
+    # primary commits), and the restore template carries the global-mesh
+    # shardings so arrays come back as multi-process jax.Arrays.
+    import os as _os
+    from gdkvm_tpu.io.checkpoint import CheckpointManager
+    from gdkvm_tpu.train.loop import abstract_train_state
+    mgr = CheckpointManager(_os.environ["GDKVM_TEST_CKPT"])
+    mgr.save(int(jax.device_get(state.step)), state, force=True)
+    mgr.wait()
+    tpl = abstract_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+    p_shard = param_shardings(mesh, tpl.params)
+    tpl = TrainState(
+        step=jax.ShapeDtypeStruct(tpl.step.shape, tpl.step.dtype,
+                                  sharding=replicated(mesh)),
+        params=jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            tpl.params, p_shard),
+        opt_state=jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=replicated(mesh)),
+            tpl.opt_state),
+        rng=jax.ShapeDtypeStruct(tpl.rng.shape, tpl.rng.dtype,
+                                 sharding=replicated(mesh)),
+    )
+    restored = mgr.restore(tpl)
+    batch2 = Batch(
+        frames=rng.integers(0, 255, (4, 2, 16, 16, 1), np.uint8),
+        masks=rng.integers(0, 2, (4, 2, 16, 16)).astype(np.uint8),
+        valid=np.ones((4, 2), np.float32),
+    )
+    batch2 = jax.device_put(batch2, batch_sharding(mesh))
+    with mesh:
+        restored, metrics_r = step(restored, batch2)
+    loss_r = float(jax.device_get(metrics_r["loss"]))
+    mgr.close()
+
     print(json.dumps({"process": info["process_index"], "loss": loss,
+                      "dice": dice, "restored_loss": loss_r,
                       **info}), flush=True)
 """)
 
@@ -91,6 +154,7 @@ def test_two_process_distributed_train_step(tmp_path):
     env_base = dict(os.environ)
     env_base.pop("XLA_FLAGS", None)             # workers pick their own
     env_base["GDKVM_PLATFORM"] = "cpu"
+    env_base["GDKVM_TEST_CKPT"] = str(tmp_path / "ckpt")
     procs = []
     for rank in range(2):
         env = dict(env_base)
@@ -105,7 +169,13 @@ def test_two_process_distributed_train_step(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
     assert {o["process"] for o in outs} == {0, 1}
-    losses = [o["loss"] for o in outs]
-    assert all(l == losses[0] for l in losses), losses
+    # Train-step loss, sharded-eval Dice, and the post-restore step's loss
+    # must each be IDENTICAL across ranks: every one is the result of a
+    # cross-process collective (grad all-reduce / Dice partial-sum reduce /
+    # restore-then-step), so any divergence means the processes are not
+    # actually computing on one global mesh.
+    for key in ("loss", "dice", "restored_loss"):
+        vals = [o[key] for o in outs]
+        assert all(v == vals[0] for v in vals), (key, vals)
     assert all(o["global_devices"] == 4 and o["local_devices"] == 2
                for o in outs)
