@@ -87,11 +87,23 @@ def cmd_bench(argv) -> int:
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--grad", action="store_true",
+                   help="modules mode: fwd+bwd (train-step) breakdown "
+                        "using the training-trace model config")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
     model = GDKVM(cfg=cfg.model)
-    if args.mode == "modules":
+    if args.mode == "modules" and args.grad:
+        from gdkvm_tpu.eval.modulebench import grad_breakdown
+        from gdkvm_tpu.models.gdkvm import train_model_config
+        from gdkvm_tpu.train.loop import make_optimizer
+        model = GDKVM(cfg=train_model_config(cfg.model, args.image_size))
+        params = init_params(model, jax.random.PRNGKey(0), args.image_size)
+        result = grad_breakdown(model, params, image_size=args.image_size,
+                                chunk=args.chunk, batch=args.batch,
+                                tx=make_optimizer(cfg))
+    elif args.mode == "modules":
         from gdkvm_tpu.eval.modulebench import module_breakdown
         params = init_params(model, jax.random.PRNGKey(0), args.image_size)
         result = module_breakdown(model, params,
