@@ -719,6 +719,12 @@ def cmd_parity(argv) -> int:
                         "challenge protocol is 10-fold) instead of the "
                         "fixed split — mean ± std of per-fold mean Dice")
     p.add_argument("--no-hd95", action="store_true")
+    p.add_argument("--ablate", action="store_true",
+                   help="memory-contribution 2x2 study ({clean,occluded} x "
+                        "{carry,reset}) on the configured benchmark instead "
+                        "of a clinical protocol (parity.memory_ablation)")
+    p.add_argument("--ablate-videos", type=int, default=8)
+    p.add_argument("--ablate-video-len", type=int, default=64)
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -739,7 +745,11 @@ def cmd_parity(argv) -> int:
     protocol = args.protocol
     if protocol == "auto":
         protocol = "echonet-ef" if cfg.data.dataset == "echonet" else "camus"
-    if protocol == "camus" and args.folds:
+    if args.ablate:
+        out = parity.memory_ablation(cfg, model, params,
+                                     num_videos=args.ablate_videos,
+                                     video_len=args.ablate_video_len)
+    elif protocol == "camus" and args.folds:
         out = parity.camus_official_folds(
             cfg, model, params, folds=args.folds,
             split=args.split or cfg.data.val_split,

@@ -703,3 +703,72 @@ def format_ef_table(result: Dict) -> str:
             lines.append(f"| {label} | {result[key]:.3f} |")
     lines.append(f"| videos scored | {result['n_scored']} |")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Memory-contribution ablation (the GDKVM mechanism study).
+# ---------------------------------------------------------------------------
+
+
+def memory_ablation(cfg, model, params, num_videos: int = 8,
+                    video_len: int = 64) -> Dict:
+    """2x2 memory-contribution study: {clean, occluded} x {carried, reset}.
+
+    The reference's headline claim is robustness of the carried memory
+    under acoustic dropout (reference: README.md:16-22), so the mechanism
+    evidence must live on the benchmark that can rank models — run this
+    with a checkpoint trained on configs/camus_hard_synth.yaml (+
+    data.occlude_prob) and the same config here, so eval videos carry the
+    difficulty-0.7 clinical-artifact bank (VERDICT r2 item 5: the r1
+    ablation ran on the easy synthetic).
+
+    Protocol (matches the BASELINE.md r1 study): per-frame streaming
+    (stream_chunk=1) so ``reset`` removes ALL temporal context; the
+    occlusion probe blanks an LV-covering region on the 4 frames up to
+    the last traced frame (eval/streaming.py::stream_evaluate).
+
+    Returns per-condition Dice plus the two memory deltas; the occluded
+    delta is the robustness-mechanism number.
+    """
+    import copy
+
+    from gdkvm_tpu.eval.streaming import stream_evaluate
+
+    cfg = copy.deepcopy(cfg)
+    cfg.eval_stage.stream_chunk = 1      # per-frame: reset = truly no memory
+    conditions = {}
+    for occl in (False, True):
+        for reset in (False, True):
+            name = (("occluded" if occl else "clean") + "_"
+                    + ("reset" if reset else "carry"))
+            r = stream_evaluate(cfg, model, params, num_videos=num_videos,
+                                video_len=video_len, reset_state=reset,
+                                occlude=occl, streams=1)
+            conditions[name] = {
+                k: v for k, v in r.items()
+                if k.startswith("dice") or k == "frames"}
+    out: Dict = {"protocol": "memory_ablation_2x2",
+                 "dataset": cfg.data.dataset,
+                 "synth_difficulty": getattr(cfg.data, "synth_difficulty",
+                                             None),
+                 "num_videos": num_videos, "video_len": video_len,
+                 "conditions": conditions}
+    for cond in ("clean", "occluded"):
+        carry = conditions[f"{cond}_carry"].get("dice_fg_mean")
+        reset = conditions[f"{cond}_reset"].get("dice_fg_mean")
+        if carry is not None and reset is not None:
+            out[f"memory_delta_{cond}"] = carry - reset
+    out["table"] = format_ablation_table(out)
+    return out
+
+
+def format_ablation_table(result: Dict) -> str:
+    lines = ["| Condition | fg Dice (carry) | fg Dice (reset) | memory Δ |",
+             "|---|---|---|---|"]
+    c = result["conditions"]
+    for cond in ("clean", "occluded"):
+        lines.append(
+            f"| {cond} | {c[cond + '_carry'].get('dice_fg_mean', float('nan')):.4f} "
+            f"| {c[cond + '_reset'].get('dice_fg_mean', float('nan')):.4f} "
+            f"| {result.get('memory_delta_' + cond, float('nan')):+.4f} |")
+    return "\n".join(lines)

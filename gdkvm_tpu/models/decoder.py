@@ -57,8 +57,48 @@ def resize_bilinear(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
     return jnp.einsum("pw,bhwc->bhpc", r_w, y, precision=prec)
 
 
+class _Kernel(nn.Module):
+    """Bare conv-kernel parameter holder.
+
+    Exists so KPFF can fold the mix conv into each branch's projection in
+    WEIGHT space (below) while keeping the exact param tree of the plain
+    conv formulation — `_Kernel(name="pixel_proj")` creates
+    `pixel_proj/kernel` with nn.Conv's shape and init, so checkpoints
+    from the concat-form block load unchanged."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class KPFFBlock(nn.Module):
-    """Key-Pixel Feature Fusion at one scale."""
+    """Key-Pixel Feature Fusion at one scale.
+
+    Math (reference semantics, homepage/en.json:20): concatenate the
+    pixel projection, the local (depthwise) key feature, the upsampled
+    global (memory) readout [and the coarser decoder stream], mix with a
+    1×1 conv, refine with GN→SiLU→3×3→GN→SiLU, gate channels from the
+    global feature (SE).
+
+    Implementation (r3): the concat→1×1-mix is a SUM of per-branch
+    linear maps, so the mix kernel's row blocks are folded into each
+    branch's own projection at trace time (fp32 weight-space merge):
+
+        mix(concat(px, loc, g, up)) = pixel @ (Wpx·M_px)
+                                    + loc_dw @ (Wlpw·M_loc)
+                                    + resize(global_key @ (Wg·M_g))
+                                    + resize(up @ M_up)
+
+    — no concat map, no intermediate `channels`-wide px/loc/g maps, the
+    global and up slices applied at their SMALL grids before the (linear,
+    spatial-only) bilinear resize.  Same FLOPs for the Cp→ch branches,
+    minus the whole (3ch+Cup)→ch mix matmul and ~6× less intermediate
+    HBM traffic; exact up to bf16 matmul reassociation (merges done in
+    fp32).  The r2.4 "kernel-slice sums" null result kept the px/loc/g
+    intermediates and only split the mix — this folds them away entirely.
+    """
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -68,57 +108,61 @@ class KPFFBlock(nn.Module):
         """pixel: (B,h,w,Cp) encoder skip. global_key: (B,hg,wg,Cg) memory
         readout map. up: decoder stream from the coarser scale (optional)."""
         hw = pixel.shape[1:3]
-        # Project the memory readout to block channels BEFORE upsampling:
-        # a 1×1 conv commutes with the (linear, spatial-only) bilinear
-        # resize, and running it at the stride-16 grid instead of the
-        # target grid never materializes the (hw, 256)-channel map —
-        # measured 0.74 → 0.05 ms on the 256² kpff4 global branch (v5e).
-        # Same params/name as the resize-first order ⇒ checkpoints load
-        # unchanged.
-        g_small = nn.Conv(self.channels, (1, 1), use_bias=False,
-                          dtype=self.dtype,
-                          name="global_proj")(global_key.astype(self.dtype))
-        g = resize_bilinear(g_small, hw)
+        ch, cp, cg = self.channels, pixel.shape[-1], global_key.shape[-1]
+        w_g = _Kernel((1, 1, cg, ch), name="global_proj")()
+        w_lpw = _Kernel((1, 1, cp, ch), name="local_pw")()
+        w_px = _Kernel((1, 1, cp, ch), name="pixel_proj")()
+        mix_in = 3 * ch + (up.shape[-1] if up is not None else 0)
+        w_mix = _Kernel((1, 1, mix_in, ch), name="Conv_0")()
 
-        # Local key feature: depthwise 3×3 + pointwise over the pixel map.
-        loc = nn.Conv(pixel.shape[-1], (3, 3), padding="SAME",
-                      feature_group_count=pixel.shape[-1], use_bias=False,
-                      dtype=self.dtype, name="local_dw")(pixel)
-        loc = nn.Conv(self.channels, (1, 1), use_bias=False,
-                      dtype=self.dtype, name="local_pw")(loc)
+        # Fold the mix slices into the branch projections (fp32, then one
+        # cast to compute dtype — same rounding boundary as flax's own
+        # param cast in nn.Conv).
+        m = w_mix[0, 0].astype(jnp.float32)
+        f32 = lambda w: w[0, 0].astype(jnp.float32)
+        w_px_m = (f32(w_px) @ m[:ch]).astype(self.dtype)
+        w_loc_m = (f32(w_lpw) @ m[ch:2 * ch]).astype(self.dtype)
+        w_g_m = (f32(w_g) @ m[2 * ch:3 * ch]).astype(self.dtype)
 
-        px = nn.Conv(self.channels, (1, 1), use_bias=False,
-                     dtype=self.dtype, name="pixel_proj")(pixel)
+        # Local key feature: depthwise 3×3 (spatial — stays a real conv).
+        loc = nn.Conv(cp, (3, 3), padding="SAME", feature_group_count=cp,
+                      use_bias=False, dtype=self.dtype,
+                      name="local_dw")(pixel.astype(self.dtype))
 
-        parts = [px, loc, g]
+        h = jnp.einsum("bhwc,cd->bhwd", pixel.astype(self.dtype), w_px_m)
+        h = h + jnp.einsum("bhwc,cd->bhwd", loc, w_loc_m)
+        # Global (memory) branch projected at the stride-16 grid, THEN
+        # upsampled (projection commutes with the spatial-only resize —
+        # the r2.4 reorder, now also carrying the mix slice).
+        g_sm = jnp.einsum("bhwc,cd->bhwd", global_key.astype(self.dtype),
+                          w_g_m)
+        h = h + resize_bilinear(g_sm, hw)
         if up is not None:
-            parts.append(resize_bilinear(up, hw).astype(self.dtype))
-        h = jnp.concatenate(parts, axis=-1)
-        h = nn.Conv(self.channels, (1, 1), use_bias=False,
-                    dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
-                         dtype=self.dtype)(h)
+            u_sm = jnp.einsum("bhwc,cd->bhwd", up.astype(self.dtype),
+                              m[3 * ch:].astype(self.dtype))
+            h = h + resize_bilinear(u_sm, hw)
+
+        h = nn.GroupNorm(num_groups=_gn_groups(ch), dtype=self.dtype,
+                         name="GroupNorm_0")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
-                         dtype=self.dtype)(h)
+        h = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="Conv_1")(h)
+        h = nn.GroupNorm(num_groups=_gn_groups(ch), dtype=self.dtype,
+                         name="GroupNorm_1")(h)
         h = nn.silu(h)
 
         # SE-style channel gate from the global (memory) feature: memory
-        # decides which fused channels matter at this scale.  Pooled from
-        # the pre-resize stride-16 map — spatial mean and upsample nearly
-        # commute (they differ only in edge-clamp weighting), and the
-        # small map is ~16× cheaper to reduce.  NOTE: unlike the
-        # global_proj reorder above (exact), this changes outputs
-        # slightly for checkpoints trained before r2.4 — params load
-        # unchanged but the SE pooling weights boundary pixels
-        # differently; quality re-validated on the hard-synth and 256²
-        # full recipes (Dice identical to 4 decimals, BASELINE.md r2.4).
-        se = jnp.mean(g_small.astype(jnp.float32), axis=(1, 2))
-        se = nn.silu(nn.Dense(max(self.channels // 4, 8),
-                              dtype=self.dtype)(se.astype(self.dtype)))
-        se = nn.sigmoid(nn.Dense(self.channels, dtype=self.dtype)(se))
+        # decides which fused channels matter at this scale.  Spatial mean
+        # commutes with the 1×1 projection (both linear), so pool the RAW
+        # global map first and project the single pooled vector — the
+        # stride-16 (hg·wg, ch) g_small map is never materialized for the
+        # gate.  (Pooling pre-resize ≈ post-resize up to edge-clamp
+        # weights — the r2.4 change, re-validated there.)
+        se = jnp.mean(global_key.astype(jnp.float32), axis=(1, 2))
+        se = (se @ f32(w_g)).astype(self.dtype)
+        se = nn.silu(nn.Dense(max(ch // 4, 8), dtype=self.dtype,
+                              name="Dense_0")(se))
+        se = nn.sigmoid(nn.Dense(ch, dtype=self.dtype, name="Dense_1")(se))
         return h * se[:, None, None, :]
 
 

@@ -159,3 +159,62 @@ def test_resize_bilinear_matches_jax_image():
         b = jax.image.resize(x, (2, hw[0], hw[1], 3), method="bilinear")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_kpff_weight_space_merge_matches_concat_form():
+    """KPFF folds the 1x1 mix conv into each branch's projection in weight
+    space (models/decoder.py KPFFBlock docstring).  In fp32 that must
+    reproduce the plain concat->mix formulation on the SAME params to
+    matmul-reassociation tolerance, and the param tree must keep the
+    concat-form names/shapes (checkpoint compatibility)."""
+    import flax.linen as nn
+    from gdkvm_tpu.models.decoder import KPFFBlock, resize_bilinear
+
+    rng = np.random.default_rng(1)
+    ch, cp, cg, cu = 24, 16, 32, 20
+    hw = (16, 16)
+    pixel = jnp.asarray(rng.standard_normal((2, *hw, cp)), jnp.float32)
+    gkey = jnp.asarray(rng.standard_normal((2, 4, 4, cg)), jnp.float32)
+    up = jnp.asarray(rng.standard_normal((2, 8, 8, cu)), jnp.float32)
+
+    block = KPFFBlock(ch, dtype=jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), pixel, gkey, up)["params"]
+    got = block.apply({"params": params}, pixel, gkey, up)
+
+    # param tree: concat-form names and shapes
+    assert params["Conv_0"]["kernel"].shape == (1, 1, 3 * ch + cu, ch)
+    assert params["global_proj"]["kernel"].shape == (1, 1, cg, ch)
+    assert params["pixel_proj"]["kernel"].shape == (1, 1, cp, ch)
+    assert params["local_pw"]["kernel"].shape == (1, 1, cp, ch)
+    assert params["local_dw"]["kernel"].shape == (3, 3, 1, cp)
+
+    # reference: the explicit concat -> 1x1 mix formulation
+    def conv1x1(x, k):
+        return jnp.einsum("bhwc,cd->bhwd", x, k[0, 0])
+
+    g_small = conv1x1(gkey, params["global_proj"]["kernel"])
+    g = resize_bilinear(g_small, hw)
+    loc = jax.lax.conv_general_dilated(
+        pixel, params["local_dw"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=cp)
+    loc = conv1x1(loc, params["local_pw"]["kernel"])
+    px = conv1x1(pixel, params["pixel_proj"]["kernel"])
+    h = jnp.concatenate([px, loc, g, resize_bilinear(up, hw)], axis=-1)
+    h = conv1x1(h, params["Conv_0"]["kernel"])
+    gn = nn.GroupNorm(num_groups=8, dtype=jnp.float32)
+    h = gn.apply({"params": params["GroupNorm_0"]}, h)
+    h = nn.silu(h)
+    h = jax.lax.conv_general_dilated(
+        h, params["Conv_1"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = gn.apply({"params": params["GroupNorm_1"]}, h)
+    h = nn.silu(h)
+    se = jnp.mean(g_small, axis=(1, 2))
+    d0 = nn.Dense(max(ch // 4, 8), dtype=jnp.float32)
+    d1 = nn.Dense(ch, dtype=jnp.float32)
+    se = nn.silu(d0.apply({"params": params["Dense_0"]}, se))
+    se = nn.sigmoid(d1.apply({"params": params["Dense_1"]}, se))
+    want = h * se[:, None, None, :]
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)

@@ -324,3 +324,26 @@ def test_camus_ef_exact_on_ground_truth(tmp_path):
     # Declared spacing ⇒ biplane volumes reported in mL per patient.
     assert res["volume_units"] == "mL"
     assert all(r["v_ed_ml"] > 0 for r in res["per_patient"])
+
+
+def test_memory_ablation_cli(tmp_path, capsys):
+    """parity --ablate: the 2x2 memory study runs end-to-end on a tiny
+    synthetic config and reports all four conditions + both deltas."""
+    import json
+    from gdkvm_tpu.cli import main
+    rc = main(["parity", "--ablate", "--ablate-videos", "2",
+               "--ablate-video-len", "8",
+               "data.dataset=synthetic", "data.image_size=32",
+               "data.synth_difficulty=0.7",
+               "model.num_classes=4",
+               "model.enc_channels=[8,16,24,32]", "model.num_heads=2",
+               "model.head_dim_k=8", "model.head_dim_v=8",
+               f"runtime.run_dir={tmp_path}/run"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["protocol"] == "memory_ablation_2x2"
+    assert set(out["conditions"]) == {"clean_carry", "clean_reset",
+                                      "occluded_carry", "occluded_reset"}
+    for cond in out["conditions"].values():
+        assert 0.0 <= cond["dice_fg_mean"] <= 1.0
+    assert "memory_delta_clean" in out and "memory_delta_occluded" in out
