@@ -181,7 +181,10 @@ def _inv_diag_block(a_ii: jax.Array, bs: int) -> jax.Array:
     """(I + a_ii)^{-1} for a strictly-lower bs×bs block: exact nilpotent
     series by doubling (growth-bounded at bs ≤ 16 — see _BLOCK note).
     Shared by the forward and transposed blocked substitutions so a
-    numerics change can never make them diverge."""
+    numerics change can never make them diverge.  Batched over leading
+    dims (``_mm`` = jnp.matmul broadcasts) — inverting ALL diagonal
+    blocks in one series issues nb-wide batched 16×16 matmuls instead of
+    nb separate tiny ones."""
     b_pow = -a_ii
     p = jnp.eye(bs, dtype=jnp.float32) + b_pow
     for _ in range(max(int(bs - 1).bit_length() - 1, 0)):
@@ -190,52 +193,81 @@ def _inv_diag_block(a_ii: jax.Array, bs: int) -> jax.Array:
     return p
 
 
-def _solve_unit_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
+def _diag_block_invs(a: jax.Array, bs: int) -> jax.Array:
+    """All nb strictly-lower diagonal blocks of a (padded N,N), inverted
+    in ONE batched nilpotent series → (nb, bs, bs)."""
+    nb = a.shape[0] // bs
+    # Static slices + stack (an iota-gather form of this crashed the
+    # XLA algebraic simplifier under vmap on the remote TPU compiler).
+    diags = jnp.stack([a[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs]
+                       for i in range(nb)])                # (nb, bs, bs)
+    tril = jnp.tril(jnp.ones((bs, bs), jnp.float32), k=-1)
+    return _inv_diag_block(diags * tril, bs)
+
+
+def _solve_unit_lower(a: jax.Array, rhs: jax.Array,
+                      inv: jax.Array | None = None) -> jax.Array:
     """X = (I + A)^{-1} RHS for strictly-lower-triangular A (fp32).
 
-    Blocked forward substitution: exact series inverse on ≤16×16 diagonal
-    blocks, matmul elimination below — numerically stable at any N (unlike
-    a whole-matrix nilpotent series) and MXU-friendly (no triangular_solve
-    HLO, which compiles poorly on TPU).  Shapes: a (N,N), rhs (N,M).
+    Blocked forward substitution, DIVIDE & CONQUER: all ≤16×16 diagonal
+    blocks inverted in ONE batched nilpotent series (numerically safe —
+    a whole-matrix series overflows at N≥256, see _BLOCK), then the
+    system splits recursively: solve the top half, eliminate its
+    contribution with one big rectangular matmul, solve the bottom half.
+    Each RHS element is touched log₂(N/16) times and the elimination
+    matmuls are up to (N/2 × N/2) — full-MXU work — versus the r2
+    left-looking loop whose per-step concatenation of all solved blocks
+    re-copied ~N²/2·M floats per call (measured: the batched transposed
+    solve was 2.46 ms of the 256²-recipe stored backward, ~75% of it
+    this traffic; the D&C form is ~4× faster — BASELINE.md r3.4).
+    No triangular_solve HLO (it compiles poorly on TPU).
+    Shapes: a (N,N), rhs (N,M).
     """
     n = a.shape[0]
     a, rhs, bs = _pad_to_block(a, rhs)
     nb = a.shape[0] // bs
+    if inv is None:
+        inv = _diag_block_invs(a, bs)
 
-    blocks = []
-    for i in range(nb):
-        r_i = rhs[i * bs:(i + 1) * bs]
-        if i:
-            x_prev = jnp.concatenate(blocks, axis=0)
-            r_i = r_i - _mm(a[i * bs:(i + 1) * bs, : i * bs], x_prev)
-        a_ii = jnp.tril(a[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs], k=-1)
-        blocks.append(_mm(_inv_diag_block(a_ii, bs), r_i))
-    return jnp.concatenate(blocks, axis=0)[:n]
+    def rec(lo: int, hi: int, r: jax.Array) -> jax.Array:
+        if hi - lo == 1:
+            return _mm(inv[lo], r)
+        mid = (lo + hi) // 2
+        x_top = rec(lo, mid, r[: (mid - lo) * bs])
+        a_bt = a[mid * bs:hi * bs, lo * bs:mid * bs]
+        x_bot = rec(mid, hi, r[(mid - lo) * bs:] - _mm(a_bt, x_top))
+        return jnp.concatenate([x_top, x_bot], axis=0)
+
+    return rec(0, nb, rhs)[:n]
 
 
-def _solve_unit_lower_t(a: jax.Array, rhs: jax.Array) -> jax.Array:
+def _solve_unit_lower_t(a: jax.Array, rhs: jax.Array,
+                        inv: jax.Array | None = None) -> jax.Array:
     """Y = (I + A)^{-T} RHS for strictly-lower-triangular A (fp32).
 
-    The TRANSPOSED system (unit upper triangular) by blocked BACKWARD
-    substitution from the last block row — the adjoint of
-    :func:`_solve_unit_lower`, used by the stored-solve backward of the
-    Pallas GDR path (ops/gdr_pallas.py::_bwd_stored).  Mirrors the
-    in-kernel ``_solve_lower_t``.  Shapes: a (N,N), rhs (N,M).
+    The TRANSPOSED system (unit upper triangular), solved bottom-up —
+    the adjoint of :func:`_solve_unit_lower`, used by the stored-solve
+    backward of the Pallas GDR path (ops/gdr_pallas.py::_bwd_stored).
+    Same divide & conquer structure (solve the bottom half first, one
+    rectangular transposed elimination, then the top half).
+    Shapes: a (N,N), rhs (N,M).
     """
     n = a.shape[0]
     a, rhs, bs = _pad_to_block(a, rhs)
     nb = a.shape[0] // bs
+    if inv is None:
+        inv = _diag_block_invs(a, bs)
 
-    blocks = []                             # stored last-block-first
-    for j in range(nb - 1, -1, -1):
-        r_j = rhs[j * bs:(j + 1) * bs]
-        if blocks:
-            y_below = jnp.concatenate(blocks[::-1], axis=0)
-            a_below = a[(j + 1) * bs:, j * bs:(j + 1) * bs]
-            r_j = r_j - _mm(a_below.T, y_below)
-        a_jj = jnp.tril(a[j * bs:(j + 1) * bs, j * bs:(j + 1) * bs], k=-1)
-        blocks.append(_mm(_inv_diag_block(a_jj, bs).T, r_j))
-    return jnp.concatenate(blocks[::-1], axis=0)[:n]
+    def rec(lo: int, hi: int, r: jax.Array) -> jax.Array:
+        if hi - lo == 1:
+            return _mm(inv[lo].T, r)
+        mid = (lo + hi) // 2
+        y_bot = rec(mid, hi, r[(mid - lo) * bs:])
+        a_bt = a[mid * bs:hi * bs, lo * bs:mid * bs]      # A[bot, top]
+        y_top = rec(lo, mid, r[: (mid - lo) * bs] - _mm(a_bt.T, y_bot))
+        return jnp.concatenate([y_top, y_bot], axis=0)
+
+    return rec(0, nb, rhs)[:n]
 
 
 def gdr_frame_chunked(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,

@@ -247,15 +247,19 @@ def _inv_diags(a: jax.Array, bs: int) -> jax.Array:
     return inv.reshape(nb, h, bs, bs)
 
 
-def _solve_lower(a: jax.Array, rhs: jax.Array) -> jax.Array:
+def _solve_lower(a: jax.Array, rhs: jax.Array,
+                 invs: jax.Array | None = None) -> jax.Array:
     """X = (I + A)^{-1} RHS for strictly-lower A (H,N,N) by blocked forward
     substitution: exact nilpotent-series inverses on ≤16×16 diagonal blocks
     (fp32-safe at any N — a whole-matrix series overflows at N=256 with
     correlated keys), matmul elimination below.  Mirrors
-    core.gdr._solve_unit_lower; all ops MXU, no dynamic slices."""
+    core.gdr._solve_unit_lower; all ops MXU, no dynamic slices.
+    ``invs``: precomputed diagonal-block inverses (callers that also
+    stream them out as residuals pass them in)."""
     n = a.shape[-1]
     bs = min(16, n)                         # n is padded to a multiple of bs
-    invs = _inv_diags(a, bs)
+    if invs is None:
+        invs = _inv_diags(a, bs)
     blocks = []
     for i in range(n // bs):
         r_i = rhs[:, i * bs:(i + 1) * bs]
@@ -303,22 +307,26 @@ def _frame_math(s_dec: jax.Array, q: jax.Array, k: jax.Array, vb: jax.Array,
 
     Args (all fp32): s_dec (H,dk,dv) decayed state S̃; q,k,ke (H,N,dk);
     vb (H,N,dv).  Returns (s_new (H,dk,dv), o (H,N,dv), u (H,N,dv),
-    w (H,N,dk)) — u/w are the frame's WY solve, optionally streamed out
-    as the stored-solve backward's residuals.
+    w (H,N,dk), invs (nb,H,bs,bs)) — u/w are the frame's WY solve and
+    invs its diagonal-block inverses, optionally streamed out as the
+    stored-solve backward's residuals (recomputing the inverses in XLA
+    cost ~1.06 ms of the 256²-recipe backward — BASELINE.md r3.4).
     """
     # LKVA read against the decayed pre-write state.
     o = _bdot(q, s_dec)
 
     # WY transform per head: A = strict_tril(diag(η) K Kᵀ).
     a = _tril_mask(_bdot(ke, k.transpose(0, 2, 1)))
+    bs = min(16, a.shape[-1])
+    invs = _inv_diags(a, bs)
     rhs = jnp.concatenate([vb, ke], axis=2)              # (H, N, dv+dk)
-    uw = _solve_lower(a, rhs)
+    uw = _solve_lower(a, rhs, invs)
     u = uw[:, :, : vb.shape[2]]
     w = uw[:, :, vb.shape[2]:]
 
     # Fused N-token delta-rule write.
     s_new = s_dec + _bdot(k.transpose(0, 2, 1), u - _bdot(w, s_dec))
-    return s_new, o, u, w
+    return s_new, o, u, w, invs
 
 
 def _frame_adjoint(s_dec, q, k, v, beta2, eta2, g, do):
@@ -383,11 +391,11 @@ def _gdr_kernel(save_states: bool, save_uw: bool, alpha_ref, q_ref, k_ref,
     rest = list(rest)
     o_ref, sT_ref = rest[0], rest[1]
     idx = 2
-    states_ref = u_ref = w_ref = None
+    states_ref = u_ref = w_ref = inv_ref = None
     if save_states:
         states_ref = rest[idx]; idx += 1
     if save_uw:
-        u_ref, w_ref = rest[idx], rest[idx + 1]; idx += 2
+        u_ref, w_ref, inv_ref = rest[idx:idx + 3]; idx += 3
     s_scr = rest[idx]
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -412,11 +420,20 @@ def _gdr_kernel(save_states: bool, save_uw: bool, alpha_ref, q_ref, k_ref,
     for i in range(h):
         s_scr[i] = alpha_ref[b, i, t].astype(_F32) * s_scr[i]
 
-    s_new, o, u, w = _frame_math(s_scr[:], q, k, vb, ke)
+    s_new, o, u, w, invs = _frame_math(s_scr[:], q, k, vb, ke)
     o_ref[0, :, 0] = o.astype(o_ref.dtype)
     if u_ref is not None:
         u_ref[0, :, 0] = u                  # fp32 WY solve, per frame
         w_ref[0, :, 0] = w
+        # Diagonal-block inverses, lane-packed (H, bs, N): column
+        # n = i·bs + c holds inv_block_i[:, :, c] — minor dim N keeps
+        # the DMA full-lane (a (..., 16)-minor output would tile to 128
+        # lanes = 8× padded writes).  Built by lane-axis concatenation:
+        # Mosaic rejects the equivalent reshape (merging a major dim
+        # into lanes is an unsupported shape cast).
+        nb = invs.shape[0]
+        inv_ref[0, :, 0] = jnp.concatenate([invs[i] for i in range(nb)],
+                                           axis=-1)
     s_scr[:] = s_new
 
     @pl.when(t == n_t - 1)
@@ -650,9 +667,13 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
         out_specs.append(
             pl.BlockSpec((1, h, 1, dk, dv), lambda g, i, *_: (g, 0, i, 0, 0)))
     if save_uw:
+        bs = min(16, n)
         out_shape += [jax.ShapeDtypeStruct((b, h, t, n, dv), _F32),
-                      jax.ShapeDtypeStruct((b, h, t, n, dk), _F32)]
-        out_specs += [blk(dv), blk(dk)]
+                      jax.ShapeDtypeStruct((b, h, t, n, dk), _F32),
+                      jax.ShapeDtypeStruct((b, h, t, bs, n), _F32)]
+        out_specs += [blk(dv), blk(dk),
+                      pl.BlockSpec((1, h, 1, bs, n),
+                                   lambda g, i, *_: (g, 0, i, 0, 0))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # alpha table lives in SMEM
         grid=(b, t),
@@ -769,8 +790,9 @@ def _batch_group(b: int, h: int, n: int, dk: int, dv: int,
                             + 2 * n * (dk + dv)                # rhs + solve
                             + 3 * dk * dv)                     # S, S̃, S'
     if save_uw:
-        # Two extra double-buffered fp32 output blocks per step (U, W).
-        per_stream += 4.0 * h * 2 * n * (dk + dv)
+        # Extra double-buffered fp32 output blocks per step: U, W and the
+        # lane-packed (bs=16, N) diagonal-block inverses.
+        per_stream += 4.0 * h * (2 * n * (dk + dv) + 2 * 16 * n)
     # Mosaic's scoped-VMEM stack measures ~4× this estimate (double-buffered
     # operand/output blocks + live unrolled solve temporaries): 24.56 MB at
     # g=8, H=4, N=64, d=64 ⇒ ~3.07 MB/stream vs 0.79 estimated.  The default
@@ -879,8 +901,10 @@ if _FWD_MODE not in ("chain", "monolith"):
 def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
                          mode: str | None = None, save_uw: bool = False):
     """Returns (o, s_T, states, uw): states is None unless save_states;
-    uw is None unless save_uw, else the PADDED fp32 (U, W) per frame —
-    the stored-solve backward's residuals."""
+    uw is None unless save_uw, else the PADDED fp32 (U, W, inv) per
+    frame — the stored-solve backward's residuals (inv = lane-packed
+    diagonal-block inverses from the monolith kernel, None from chain
+    mode where XLA did the solves)."""
     b, h, _, n, dk = q.shape
     dv = v.shape[-1]
     if (mode or _FWD_MODE) == "chain":
@@ -898,7 +922,9 @@ def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
             _group(qf, g), _group(kf, g), _group(u, g), _group(w, g),
             _group(alpha.astype(_F32), g), _group(s0, g), _interpret(),
             save_states, params)
-        uw = (u, w) if save_uw else None
+        # Chain mode has no streamed inverses (XLA computed the solves);
+        # the stored backward recomputes them from A in that case.
+        uw = (u, w, None) if save_uw else None
     else:
         qf, kf, vbf, kef, af = _flat_inputs_premul(q, k, v, beta, eta, alpha)
         g, params = _batch_group(b, h, qf.shape[-2], dk, dv, save_uw)
@@ -906,7 +932,7 @@ def _gdr_pallas_fwd_impl(q, k, v, beta, eta, alpha, s0, save_states: bool,
             _group(qf, g), _group(kf, g), _group(vbf, g), _group(kef, g),
             _group(af, g), _group(s0, g), _interpret(), save_states,
             save_uw, params)
-        uw = (tuple(_ungroup(x, g) for x in outs[-2:])
+        uw = (tuple(_ungroup(x, g) for x in outs[-3:])
               if save_uw else None)
     o = _ungroup(outs[0], g)[:, :, :, :n, :]            # (B,H,T,N,dv)
     s_t = _ungroup(outs[1], g)
@@ -975,7 +1001,7 @@ def _bwd_stored(residuals, cotangents):
     recompute-vjp because it stores the forward solves; this path stores
     them too but gets the forward at kernel speed — beating both.
     """
-    q, k, v, beta, alpha, s0, eta, states, (u, w) = residuals
+    q, k, v, beta, alpha, s0, eta, states, (u, w, inv_packed) = residuals
     do, dsT = cotangents
     b, h, t, n, dk = q.shape
     dv = v.shape[-1]
@@ -989,6 +1015,12 @@ def _bwd_stored(residuals, cotangents):
     hp = functools.partial(jnp.einsum,
                            precision=jax.lax.Precision.HIGHEST)
 
+    # NULL RESULT (r3.4, v5e): swapping these HIGHEST einsums for bf16x3
+    # (3 separate single-pass dots) made the backward 1.5× SLOWER (3.85 →
+    # 5.64 ms at the 256² recipe) — they are bandwidth-bound on their
+    # (B,H,T,N,·) operands, so tripling the reads costs more than the
+    # saved MXU passes.  HIGHEST stays.
+
     sdec = af[..., None, None] * states              # S̃_t (B,H,T,dk,dv)
     qdo = hp("bhtnk,bhtnv->bhtkv", q32, dof)         # Qᵀdo, batched
 
@@ -999,23 +1031,48 @@ def _bwd_stored(residuals, cotangents):
         k_t, w_t, qdo_t, a_t = xs
         kg = hp("bhnk,bhkv->bhnv", k_t, g)
         ds_dec = g + qdo_t - hp("bhnk,bhnv->bhkv", w_t, kg)
-        return a_t[..., None, None] * ds_dec, (kg, ds_dec, g)
+        return a_t[..., None, None] * ds_dec, (ds_dec, g)
 
     xs = (tm(k32)[::-1], tm(w)[::-1], tm(qdo)[::-1],
           jnp.moveaxis(af, 2, 0)[::-1])
-    ds0, (kg_r, dsdec_r, g_r) = jax.lax.scan(chain, dsT.astype(_F32), xs)
+    ds0, (dsdec_r, g_r) = jax.lax.scan(chain, dsT.astype(_F32), xs)
     um = lambda x: jnp.moveaxis(x[::-1], 0, 2)       # back to (B,H,T,...)
-    kg = um(kg_r)
     ds_dec = um(dsdec_r)
     g = um(g_r)                                      # dS_t per frame
+    # K g is needed again below; recompute it BATCHED over all frames
+    # (one big MXU op, +0.7 GF) instead of stacking the 8× larger
+    # (B,H,T,N,dv) kg through the scan outputs.  Measured neutral on v5e
+    # (XLA was already fusing the stacked path) — kept for the smaller
+    # scan carry footprint.
+    kg = hp("bhtnk,bhtkv->bhtnv", k32, g)
 
-    # Batched adjoint over all frames.
-    a_mat = _tril_mask5(hp("bhtnk,bhtmk->bhtnm", ke, k32))
+    # Batched adjoint over all frames.  A = diag(η)·stril(K Kᵀ): hoist the
+    # fp32 η row-scale OUT of the matmul so the K Kᵀ dot can run as ONE
+    # bf16 MXU pass with fp32 accumulation — bit-identical to the HIGHEST
+    # 6-pass dot when K arrives in bf16 (the model's boundary since r2.3;
+    # bf16 operands carry no extra bits for the extra passes to preserve).
+    # Measured 0.205 → ~0.02 ms at the 256² recipe shape (BASELINE r3.4).
+    if k.dtype == jnp.bfloat16:
+        kkt = jnp.einsum("bhtnk,bhtmk->bhtnm", kf, kf,
+                         preferred_element_type=_F32)
+    else:
+        kkt = hp("bhtnk,bhtmk->bhtnm", k32, k32)
+    a_mat = _tril_mask5(e2 * kkt)
     x = jnp.concatenate([u, w], axis=-1)             # (B,H,T,np,dv+dk)
     dx = jnp.concatenate(
         [kg, -hp("bhtnv,bhtkv->bhtnk", kg, sdec)], axis=-1)
     solve_t = jax.vmap(jax.vmap(jax.vmap(gdr_core._solve_unit_lower_t)))
-    y = solve_t(a_mat, dx)
+    if inv_packed is not None:
+        # The forward kernel streamed the solve's diagonal-block inverses
+        # (lane-packed (B,H,T,bs,N)); unpack to (B,H,T,nb,bs,bs) and skip
+        # the XLA nilpotent series entirely — recomputing it batched cost
+        # 1.06 ms of the 2.46 ms solve at the 256² recipe (BASELINE r3.4).
+        bs = inv_packed.shape[-2]
+        inv = jnp.moveaxis(
+            inv_packed.reshape(b, h, t, bs, n_pad // bs, bs), -2, -3)
+        y = solve_t(a_mat, dx, inv)
+    else:
+        y = solve_t(a_mat, dx)
     da = -_tril_mask5(hp("bhtnf,bhtmf->bhtnm", y, x))
     y_v = y[..., :dv]
     y_k = y[..., dv:]
