@@ -737,25 +737,32 @@ def memory_ablation(cfg, model, params, num_videos: int = 8,
     cfg = copy.deepcopy(cfg)
     cfg.eval_stage.stream_chunk = 1      # per-frame: reset = truly no memory
     conditions = {}
-    for occl in (False, True):
-        for reset in (False, True):
-            name = (("occluded" if occl else "clean") + "_"
-                    + ("reset" if reset else "carry"))
-            r = stream_evaluate(cfg, model, params, num_videos=num_videos,
-                                video_len=video_len, reset_state=reset,
-                                occlude=occl, streams=1)
-            conditions[name] = {
-                k: v for k, v in r.items()
-                if k.startswith("dice") or k == "frames"}
+    for window in (False, True):
+        for occl in (False, True):
+            for reset in (False, True):
+                name = (("occluded" if occl else "clean") + "_"
+                        + ("reset" if reset else "carry")
+                        + ("_window" if window else ""))
+                r = stream_evaluate(cfg, model, params,
+                                    num_videos=num_videos,
+                                    video_len=video_len, reset_state=reset,
+                                    occlude=occl, streams=1,
+                                    probe_window_only=window)
+                conditions[name] = {
+                    k: v for k, v in r.items()
+                    if k.startswith("dice") or k == "frames"}
     out: Dict = {"protocol": "memory_ablation_2x2",
                  "dataset": cfg.data.dataset,
                  "synth_difficulty": getattr(cfg.data, "synth_difficulty",
                                              None),
                  "num_videos": num_videos, "video_len": video_len,
                  "conditions": conditions}
-    for cond in ("clean", "occluded"):
-        carry = conditions[f"{cond}_carry"].get("dice_fg_mean")
-        reset = conditions[f"{cond}_reset"].get("dice_fg_mean")
+    for cond in ("clean", "occluded", "clean_window", "occluded_window"):
+        base, _, suffix = cond.partition("_")
+        carry = conditions[f"{base}_carry" + (f"_{suffix}" if suffix
+                                              else "")].get("dice_fg_mean")
+        reset = conditions[f"{base}_reset" + (f"_{suffix}" if suffix
+                                              else "")].get("dice_fg_mean")
         if carry is not None and reset is not None:
             out[f"memory_delta_{cond}"] = carry - reset
     out["table"] = format_ablation_table(out)
@@ -763,12 +770,18 @@ def memory_ablation(cfg, model, params, num_videos: int = 8,
 
 
 def format_ablation_table(result: Dict) -> str:
+    """All-frame rows dilute the probe (4 occluded frames of video_len);
+    the `window` rows score ONLY the probe window — the robustness-
+    mechanism number (what the r1 EchoNet study measured implicitly,
+    since only its traced frames carried GT)."""
     lines = ["| Condition | fg Dice (carry) | fg Dice (reset) | memory Δ |",
              "|---|---|---|---|"]
     c = result["conditions"]
-    for cond in ("clean", "occluded"):
-        lines.append(
-            f"| {cond} | {c[cond + '_carry'].get('dice_fg_mean', float('nan')):.4f} "
-            f"| {c[cond + '_reset'].get('dice_fg_mean', float('nan')):.4f} "
-            f"| {result.get('memory_delta_' + cond, float('nan')):+.4f} |")
+    for cond, suffix in (("clean", ""), ("occluded", ""),
+                         ("clean", "_window"), ("occluded", "_window")):
+        carry = c[cond + "_carry" + suffix].get("dice_fg_mean", float("nan"))
+        reset = c[cond + "_reset" + suffix].get("dice_fg_mean", float("nan"))
+        delta = result.get("memory_delta_" + cond + suffix, float("nan"))
+        lines.append(f"| {cond}{suffix} | {carry:.4f} | {reset:.4f} "
+                     f"| {delta:+.4f} |")
     return "\n".join(lines)

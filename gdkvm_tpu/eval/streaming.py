@@ -193,7 +193,8 @@ def stream_evaluate(cfg, model: GDKVM, params,
                     reset_state: bool = False,
                     occlude: bool = False,
                     streams: int = 1,
-                    consistency: bool = False):
+                    consistency: bool = False,
+                    probe_window_only: bool = False):
     """Full-sequence streaming eval: per-video chunked recurrence, Dice on
     valid frames, end-to-end frames/sec (BASELINE configs[1]/[3]).
 
@@ -205,6 +206,11 @@ def stream_evaluate(cfg, model: GDKVM, params,
     eval_stage.stream_chunk=1 for a true per-frame no-memory baseline);
     ``occlude`` blanks an LV-covering region around the last traced (or
     middle) frame — the acoustic-dropout robustness probe.
+    ``probe_window_only`` restricts Dice scoring (validity) to the 4
+    frames the probe covers, so the robustness delta is measured ON the
+    occluded frames rather than diluted over the whole video; applied
+    symmetrically to clean runs (same frames, unoccluded) so
+    carry-vs-reset deltas compare like with like.
 
     ``streams`` > 1 runs that many videos in flight as one batched
     recurrence (serving mode): videos are grouped, padded to the group
@@ -242,18 +248,24 @@ def stream_evaluate(cfg, model: GDKVM, params,
                                          cfg.data.synth_difficulty)
             videos.append((f, m, np.ones((video_len,), np.float32)))
 
-    if occlude:
-        occluded = []
+    if occlude or probe_window_only:
+        probed = []
         for vid, gt, valid in videos:
-            vid = vid.copy()
             anchors = np.where(valid > 0)[0]
             es = int(anchors[-1]) if anchors.size else vid.shape[0] // 2
-            hh, ww = vid.shape[1:3]
-            for t in range(max(es - 3, 0), es + 1):
-                vid[t, int(0.27 * hh):int(0.76 * hh),
-                    int(0.22 * ww):int(0.80 * ww)] = 0
-            occluded.append((vid, gt, valid))
-        videos = occluded
+            lo = max(es - 3, 0)
+            if occlude:
+                vid = vid.copy()
+                hh, ww = vid.shape[1:3]
+                for t in range(lo, es + 1):
+                    vid[t, int(0.27 * hh):int(0.76 * hh),
+                        int(0.22 * ww):int(0.80 * ww)] = 0
+            if probe_window_only:
+                window = np.zeros_like(valid)
+                window[lo:es + 1] = 1.0
+                valid = valid * window
+            probed.append((vid, gt, valid))
+        videos = probed
 
     if streams > 1:
         if consistency:

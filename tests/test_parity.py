@@ -342,8 +342,16 @@ def test_memory_ablation_cli(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["protocol"] == "memory_ablation_2x2"
-    assert set(out["conditions"]) == {"clean_carry", "clean_reset",
-                                      "occluded_carry", "occluded_reset"}
-    for cond in out["conditions"].values():
+    assert set(out["conditions"]) == {
+        "clean_carry", "clean_reset", "occluded_carry", "occluded_reset",
+        "clean_carry_window", "clean_reset_window",
+        "occluded_carry_window", "occluded_reset_window"}
+    for name, cond in out["conditions"].items():
         assert 0.0 <= cond["dice_fg_mean"] <= 1.0
-    assert "memory_delta_clean" in out and "memory_delta_occluded" in out
+        if name.endswith("_window"):
+            # probe-window scoring restricts validity to the 4 probe frames
+            assert cond["frames"] < out["conditions"][
+                name[: -len("_window")]]["frames"]
+    for key in ("memory_delta_clean", "memory_delta_occluded",
+                "memory_delta_clean_window", "memory_delta_occluded_window"):
+        assert key in out
