@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from gdkvm_tpu.models.encoder import _gn_groups
+from gdkvm_tpu.ops.norms import GroupNorm
 
 
 def resize_bilinear(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
@@ -142,12 +143,12 @@ class KPFFBlock(nn.Module):
                               m[3 * ch:].astype(self.dtype))
             h = h + resize_bilinear(u_sm, hw)
 
-        h = nn.GroupNorm(num_groups=_gn_groups(ch), dtype=self.dtype,
+        h = GroupNorm(num_groups=_gn_groups(ch), dtype=self.dtype,
                          name="GroupNorm_0")(h)
         h = nn.silu(h)
         h = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="Conv_1")(h)
-        h = nn.GroupNorm(num_groups=_gn_groups(ch), dtype=self.dtype,
+        h = GroupNorm(num_groups=_gn_groups(ch), dtype=self.dtype,
                          name="GroupNorm_1")(h)
         h = nn.silu(h)
 

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gdkvm_tpu.ops.norms import GroupNorm
+
 
 def _gn_groups(c: int) -> int:
     for g in (32, 16, 8, 4, 2, 1):
@@ -36,12 +38,12 @@ class ConvBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
+        h = GroupNorm(num_groups=_gn_groups(self.channels),
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=_gn_groups(self.channels),
+        h = GroupNorm(num_groups=_gn_groups(self.channels),
                          dtype=self.dtype)(h)
         if x.shape[-1] != self.channels:
             x = nn.Conv(self.channels, (1, 1), use_bias=False,
@@ -91,7 +93,7 @@ class Encoder(nn.Module):
             h = space_to_depth(x, 4)                  # (B, H/4, W/4, 16·C_in)
             h = nn.Conv(c4, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype)(h)
-            h = nn.GroupNorm(num_groups=_gn_groups(c4), dtype=self.dtype)(h)
+            h = GroupNorm(num_groups=_gn_groups(c4), dtype=self.dtype)(h)
             h = nn.silu(h)
             for _ in range(max(b0 + b4 - 1, 1)):      # same depth budget
                 h = ConvBlock(c4, dtype=self.dtype)(h)
@@ -99,7 +101,7 @@ class Encoder(nn.Module):
             # Stem: /2 then /2 → stride 4.
             h = nn.Conv(c0, (3, 3), strides=(2, 2), padding="SAME",
                         use_bias=False, dtype=self.dtype)(x)
-            h = nn.GroupNorm(num_groups=_gn_groups(c0), dtype=self.dtype)(h)
+            h = GroupNorm(num_groups=_gn_groups(c0), dtype=self.dtype)(h)
             h = nn.silu(h)
             for _ in range(b0):
                 h = ConvBlock(c0, dtype=self.dtype)(h)

@@ -347,8 +347,55 @@ def test_vmem_override_env_validation():
              "GDKVM_PLATFORM": "cpu"},
         capture_output=True, text=True)
     assert proc.returncode != 0
-    assert "GDKVM_GDR_VMEM_MB must be a float or 'auto'" in proc.stderr
+    assert "GDKVM_GDR_VMEM_MB must be a float, 'auto' or 'autotune'" \
+        in proc.stderr
     # _gdr_pallas_bwd_flat accepts compiler params (plumbing exists).
     import inspect
     assert "params" in inspect.signature(
         gdr_pallas._gdr_pallas_bwd_flat).parameters
+
+
+def test_autotune_group_cache_and_fallback(tmp_path, monkeypatch):
+    """GDKVM_GDR_VMEM_MB=autotune policy logic (probe mocked, CPU-safe):
+    picks the measured-fastest feasible G, caches in-process AND in the
+    JSON sidecar (probe runs once per shape per machine), and falls back
+    to the heuristic plan when every candidate fails to compile."""
+    monkeypatch.setattr(gdr_pallas, "_AUTOTUNE_PATH",
+                        str(tmp_path / "gdr_autotune.json"))
+    monkeypatch.setattr(gdr_pallas, "_autotune_mem", {})
+
+    calls = []
+
+    def fake_probe(kind, b, h, n, dk, dv, g, params):
+        calls.append(g)
+        return {1: 3.0, 2: 1.5, 4: 2.0}[g]
+
+    monkeypatch.setattr(gdr_pallas, "_autotune_probe", fake_probe)
+    # per_stream 3.5 MB → candidates are the divisors of 8 that fit the
+    # 110 MB raised-estimate ceiling: 1, 2, 4 (8 → 112 MB, excluded).
+    ps = 3.5e6
+    g, _ = gdr_pallas._autotune_group("mono", 8, 4, 256, 64, 64, ps)
+    assert g == 2 and sorted(calls) == [1, 2, 4]
+
+    # In-process cache: no further probes for the same shape.
+    calls.clear()
+    g, _ = gdr_pallas._autotune_group("mono", 8, 4, 256, 64, 64, ps)
+    assert g == 2 and calls == []
+
+    # Disk sidecar: a fresh process (cleared memory cache) reads the
+    # persisted winner without probing.
+    monkeypatch.setattr(gdr_pallas, "_autotune_mem", {})
+    g, _ = gdr_pallas._autotune_group("mono", 8, 4, 256, 64, 64, ps)
+    assert g == 2 and calls == []
+
+    # Every candidate failing to compile → heuristic _group_plan result.
+    def broken_probe(*a):
+        raise RuntimeError("mosaic says no")
+
+    monkeypatch.setattr(gdr_pallas, "_autotune_probe", broken_probe)
+    monkeypatch.setattr(gdr_pallas, "_autotune_mem", {})
+    monkeypatch.setattr(gdr_pallas, "_AUTOTUNE_PATH",
+                        str(tmp_path / "empty.json"))
+    want = gdr_pallas._group_plan(8, ps, allow_raise=True)
+    got = gdr_pallas._autotune_group("mono", 8, 4, 256, 64, 64, ps)
+    assert got[0] == want[0]

@@ -218,3 +218,41 @@ def test_kpff_weight_space_merge_matches_concat_form():
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_group_norm_matches_flax():
+    """Lane-friendly GroupNorm (ops/norms.py) ≡ nn.GroupNorm.
+
+    bf16: outputs within one bf16 ulp, grads within bf16 rounding; fp32:
+    outputs to reassociation tolerance, param grads ~1e-7 relative.
+    Covers the repo's real group sizes (2 at C=64/G=32, 3 at C=48/G=16).
+    """
+    import flax.linen as nn
+    from gdkvm_tpu.ops.norms import GroupNorm
+
+    rng = np.random.default_rng(0)
+    for c, g, dt, tol in [(64, 32, jnp.bfloat16, 8e-3),
+                          (48, 16, jnp.bfloat16, 8e-3),
+                          (64, 32, jnp.float32, 5e-6),
+                          (96, 32, jnp.float32, 5e-6)]:
+        x = jnp.asarray(rng.standard_normal((4, 8, 8, c)) * 2 + 0.5, dt)
+        ref = nn.GroupNorm(num_groups=g, dtype=dt)
+        new = GroupNorm(num_groups=g, dtype=dt)
+        p = ref.init(jax.random.PRNGKey(0), x)
+        p = jax.tree.map(  # random affine so the a·x+b fold is tested
+            lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype), p)
+        yr = np.asarray(ref.apply(p, x), np.float32)
+        yn = np.asarray(new.apply(p, x), np.float32)
+        np.testing.assert_allclose(yn, yr, rtol=tol,
+                                   atol=tol * max(1.0, np.abs(yr).max()))
+
+        def loss(fn):
+            return lambda p, x: (fn.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+        gr = jax.grad(loss(ref), argnums=(0, 1))(p, x)
+        gn_ = jax.grad(loss(new), argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn_)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+            assert rel < (0.02 if dt == jnp.bfloat16 else 1e-5), (c, g, dt, rel)
