@@ -64,6 +64,17 @@ def main() -> None:
     model = GDKVM(cfg=cfg)
     params = init_params(model, jax.random.PRNGKey(0), image_size=112)
 
+    if os.environ.get("GDKVM_BENCH_QUANT") == "w8a8":
+        # A/B hook: calibrate W8A8 scales on the bench's own frame
+        # distribution and run the quantized serving path (ops/quant.py).
+        import numpy as np
+        from gdkvm_tpu.ops import quant as Q
+        rng = np.random.default_rng(0)
+        batches = [rng.integers(0, 255, (1, 8, 112, 112, 1))
+                   .astype(np.float32) / 255.0 for _ in range(2)]
+        model = Q.w8a8_model(
+            model, Q.calibrate_act_scales(model, params, batches))
+
     chunk = int(os.environ.get("GDKVM_BENCH_CHUNK", "32"))
     batch = int(os.environ.get("GDKVM_BENCH_BATCH", "8"))
     # Best-of-3: the dev tunnel's dispatch latency swings ~2× window to

@@ -177,6 +177,9 @@ def cmd_stream_eval(argv) -> int:
                    help="also report temporal prediction stability "
                         "(fg IoU between consecutive frames, flicker "
                         "rate; single-stream mode only)")
+    p.add_argument("--quant-scales", default=None,
+                   help="W8A8 scales JSON from `gdkvm quant` — evaluate "
+                        "the quantized serving path")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -194,6 +197,9 @@ def cmd_stream_eval(argv) -> int:
     else:
         params = init_params(model, jax.random.PRNGKey(0),
                              cfg.data.image_size)
+    if args.quant_scales:
+        from gdkvm_tpu.ops import quant as _Q
+        model = _Q.w8a8_model(model, _Q.load_scales(args.quant_scales))
     out = stream_evaluate(cfg, model, params, num_videos=args.num_videos,
                           video_len=args.video_len,
                           reset_state=args.reset_state,
@@ -202,6 +208,101 @@ def cmd_stream_eval(argv) -> int:
                           else cfg.eval_stage.streams,
                           consistency=args.consistency)
     print(json.dumps(out))
+    return 0
+
+
+def cmd_quant(argv) -> int:
+    """Calibrate W8A8 activation scales for quantized serving
+    (ops/quant.py), optionally with a measured quality check.
+
+    v5e's MXU runs int8 at 2× the bf16 rate; the quantized path pays a
+    requant pass per conv, so it wins at compute-saturated serving shapes
+    and loses at memory-bound ones (BASELINE.md r3.8) — hence calibrate +
+    CHECK, never blind-enable.
+    """
+    import os
+    import numpy as np
+    import jax
+    from gdkvm_tpu.config.schema import load_config
+    from gdkvm_tpu.io.checkpoint import CheckpointManager
+    from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+    from gdkvm_tpu.ops import quant as Q
+
+    flags, overrides = _split_args(argv)
+    p = argparse.ArgumentParser(prog="gdkvm quant")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out", default=None,
+                   help="scales JSON (default <run_dir>/quant_scales.json)")
+    p.add_argument("--scope", default="encoder",
+                   choices=["encoder", "decoder", "all"],
+                   help="which convs to calibrate (encoder = the "
+                        "measured-win region)")
+    p.add_argument("--calib-clips", type=int, default=4)
+    p.add_argument("--check", action="store_true",
+                   help="run streaming eval full-precision vs w8a8 and "
+                        "report the Dice delta + throughput both ways")
+    p.add_argument("--num-videos", type=int, default=4)
+    p.add_argument("--video-len", type=int, default=64)
+    args = p.parse_args(flags)
+    cfg = load_config(args.config, overrides)
+
+    model = GDKVM(cfg=cfg.model)
+    ckpt_dir = args.checkpoint or os.path.join(cfg.runtime.run_dir,
+                                               "checkpoints")
+    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        from gdkvm_tpu.train.loop import abstract_train_state, \
+            eval_params, make_optimizer
+        tpl = abstract_train_state(cfg, model, make_optimizer(cfg),
+                                   jax.random.PRNGKey(0))
+        state = CheckpointManager(ckpt_dir).restore(tpl)
+        params = jax.device_put(eval_params(state, cfg))
+    else:
+        print("warning: no checkpoint — calibrating an UNTRAINED init",
+              file=sys.stderr)
+        params = init_params(model, jax.random.PRNGKey(0),
+                             cfg.data.image_size)
+
+    # Calibration clips: the configured dataset's inference distribution
+    # (synthetic generator mirrors the eval source when no real data is
+    # mounted — same source stream_evaluate uses).
+    from gdkvm_tpu.data import synthetic as _synth
+    s, k = cfg.data.image_size, cfg.model.num_classes
+    batches = []
+    for i in range(args.calib_clips):
+        f, _ = _synth.generate_video(7000 + i, cfg.data.clip_len, s, s, k,
+                                     cfg.data.synth_difficulty)
+        batches.append(f[None].astype(np.float32) / 255.0)
+
+    scales = Q.calibrate_act_scales(model, params, batches,
+                                    scope=args.scope)
+    out_path = args.out or os.path.join(cfg.runtime.run_dir,
+                                        "quant_scales.json")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    Q.save_scales(out_path, scales)
+    result = {"scales": out_path, "n_convs": len(scales),
+              "scope": args.scope}
+
+    if args.check:
+        from gdkvm_tpu.eval.streaming import stream_evaluate
+        qmodel = Q.w8a8_model(model, scales)
+        fp = stream_evaluate(cfg, model, params,
+                             num_videos=args.num_videos,
+                             video_len=args.video_len,
+                             streams=cfg.eval_stage.streams)
+        q8 = stream_evaluate(cfg, qmodel, params,
+                             num_videos=args.num_videos,
+                             video_len=args.video_len,
+                             streams=cfg.eval_stage.streams)
+        result["check"] = {
+            "dice_fg_fp": fp.get("dice_fg_mean"),
+            "dice_fg_w8a8": q8.get("dice_fg_mean"),
+            "dice_fg_delta": (None if "dice_fg_mean" not in fp else
+                              q8["dice_fg_mean"] - fp["dice_fg_mean"]),
+            "fps_fp": fp.get("stream_frames_per_sec"),
+            "fps_w8a8": q8.get("stream_frames_per_sec"),
+        }
+    print(json.dumps(result))
     return 0
 
 
@@ -555,6 +656,9 @@ def cmd_serve(argv) -> int:
                         "then pays the jit compile)")
     p.add_argument("--no-pack", action="store_true",
                    help="disable bit-packed mask fetch (debugging)")
+    p.add_argument("--quant-scales", default=None,
+                   help="W8A8 scales JSON from `gdkvm quant` — serve the "
+                        "quantized conv path (checkpoint path only)")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
     streams = args.streams or max(cfg.eval_stage.streams, 1)
@@ -563,6 +667,10 @@ def cmd_serve(argv) -> int:
                warmup=not args.no_warmup, pack_masks=not args.no_pack)
 
     if args.artifact:
+        if args.quant_scales:
+            print("error: --quant-scales applies to the checkpoint path; "
+                  "artifacts are already-lowered programs", file=sys.stderr)
+            return 2
         engine = BatchingEngine(artifact=args.artifact, streams=streams,
                                 chunk=chunk, **ekw)
     else:
@@ -583,6 +691,9 @@ def cmd_serve(argv) -> int:
                   file=sys.stderr)
             params = init_params(model, jax.random.PRNGKey(0),
                                  cfg.data.image_size)
+        if args.quant_scales:
+            from gdkvm_tpu.ops import quant as _Q
+            model = _Q.w8a8_model(model, _Q.load_scales(args.quant_scales))
         engine = BatchingEngine(model=model, params=params, streams=streams,
                                 chunk=chunk, image_size=cfg.data.image_size,
                                 **ekw)
@@ -878,6 +989,7 @@ _COMMANDS = {
     "bench": cmd_bench,
     "stream-eval": cmd_stream_eval,
     "scale": cmd_scale,
+    "quant": cmd_quant,
     "pack": cmd_pack,
     "convert-camus": cmd_convert_camus,
     "validate-data": cmd_validate_data,

@@ -59,6 +59,13 @@ class ModelConfig:
     # arXiv 2605.22791 — the memory can overwrite without erasing and
     # vice versa).
     gdr_variant: str = "gdn"
+    # Quantized serving tag: "none" for the normal bf16 path.  Set ONLY by
+    # ops/quant.py::w8a8_model (to "w8a8-<scales digest>") on the wrapped
+    # model it returns — the tag's job is to key the repr-keyed jitted-
+    # apply caches (eval/streaming.py) so quantized and full-precision
+    # traces never collide.  Not a user-settable training option: training
+    # is never quantized (int8 has no grad story on v5e).
+    quant: str = "none"
 
 
 @dataclass

@@ -1,0 +1,143 @@
+"""W8A8 post-training quantization tests (ops/quant.py).
+
+Numerics: the quantized conv must match a hand-rolled integer reference
+exactly (int32 accumulation is exact); end-to-end: calibration covers the
+encoder's MXU convs, the quantized model stays close to full precision,
+and the cfg tag keeps the repr-keyed jitted-apply caches separate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdkvm_tpu.models.gdkvm import GDKVM, init_params
+from gdkvm_tpu.ops import quant
+from tests.test_model import tiny_cfg
+
+pytestmark = pytest.mark.quick
+
+
+def test_quantized_conv_matches_integer_reference():
+    """quantized_conv == manual per-channel int8 quantize + exact conv."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 6)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 6, 10)) * 0.2).astype(np.float32)
+    act_scale = float(np.abs(x).max())
+
+    out = quant.quantized_conv(
+        jnp.asarray(x), jnp.asarray(k), act_scale,
+        strides=(1, 1), padding="SAME", bias=None, out_dtype=jnp.float32)
+
+    # Manual reference: quantize both sides, exact fp32 conv of the int
+    # values (they are exactly representable), dequantize.
+    w_scale = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    k8 = np.clip(np.round(k / w_scale), -127, 127)
+    x8 = np.clip(np.round(x * (127.0 / act_scale)), -127, 127)
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x8, jnp.float32), jnp.asarray(k8, jnp.float32),
+        (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    ref = np.asarray(y) * (w_scale * (act_scale / 127.0))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_conv_strided_with_bias():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 4, 8)) * 0.2).astype(np.float32)
+    b = rng.standard_normal((8,)).astype(np.float32)
+    out = quant.quantized_conv(
+        jnp.asarray(x), jnp.asarray(k), float(np.abs(x).max()),
+        strides=(2, 2), padding="SAME", bias=jnp.asarray(b),
+        out_dtype=jnp.float32)
+    assert out.shape == (1, 4, 4, 8)
+    # Full-precision conv as a sanity anchor: ≤2% relative RMS error.
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST) + b
+    err = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    assert err / np.linalg.norm(np.asarray(ref)) < 0.02
+
+
+@pytest.fixture(scope="module")
+def calibrated():
+    cfg = tiny_cfg()
+    model = GDKVM(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=64)
+    rng = np.random.default_rng(2)
+    batches = [rng.random((1, 4, 64, 64, 1)).astype(np.float32)
+               for _ in range(2)]
+    scales = quant.calibrate_act_scales(model, params, batches,
+                                        scope="encoder")
+    return model, params, scales
+
+
+def test_calibration_covers_encoder_convs(calibrated):
+    model, params, scales = calibrated
+    assert scales, "calibration found no encoder convs"
+    assert all(p.startswith("encoder") for p in scales)
+    assert all(s > 0 for s in scales.values())
+    # Every eligible encoder conv kernel has a scale: count 4-D non-
+    # depthwise kernels in the encoder param subtree.
+    n_convs = sum(
+        1 for p in jax.tree_util.tree_leaves_with_path(
+            params["params"]["encoder"])
+        if p[1].ndim == 4)
+    assert len(scales) == n_convs
+
+
+def test_w8a8_model_close_to_full_precision(calibrated):
+    model, params, scales = calibrated
+    qmodel = quant.w8a8_model(model, scales)
+    frames = jnp.asarray(
+        np.random.default_rng(3).random((1, 4, 64, 64, 1)), jnp.float32)
+    logits_fp, st_fp = jax.jit(model.apply)(params, frames)
+    logits_q, st_q = jax.jit(qmodel.apply)(params, frames)
+    assert logits_q.shape == logits_fp.shape
+    assert np.isfinite(np.asarray(logits_q)).all()
+    # int8 weights+activations through a GN-renormalized backbone: the
+    # masks must agree almost everywhere and logits stay correlated.
+    m_fp = np.asarray(jnp.argmax(logits_fp, -1))
+    m_q = np.asarray(jnp.argmax(logits_q, -1))
+    assert (m_fp == m_q).mean() > 0.98
+    lf = np.asarray(logits_fp).ravel()
+    lq = np.asarray(logits_q).ravel()
+    rel = np.linalg.norm(lq - lf) / max(np.linalg.norm(lf), 1e-9)
+    assert rel < 0.25, f"quantized logits drifted {rel:.3f} relative"
+    # The memory path is untouched: states see only encoder input drift.
+    assert np.isfinite(np.asarray(st_q.mem)).all()
+
+
+def test_w8a8_cache_tag_and_roundtrip(tmp_path, calibrated):
+    model, params, scales = calibrated
+    qmodel = quant.w8a8_model(model, scales)
+    assert qmodel.cfg.quant.startswith("w8a8-")
+    assert repr(qmodel.cfg) != repr(model.cfg)
+    # Different scales ⇒ different tag ⇒ different jit-cache key.
+    other = quant.w8a8_model(model, {k: v * 2 for k, v in scales.items()})
+    assert other.cfg.quant != qmodel.cfg.quant
+    # Scales persist through JSON round-trip.
+    p = tmp_path / "scales.json"
+    quant.save_scales(str(p), scales)
+    assert quant.load_scales(str(p)) == scales
+
+
+def test_uncalibrated_convs_run_full_precision(calibrated):
+    """A scales table without decoder entries leaves decoder convs alone:
+    quantizing with encoder-only scales must differ from quantizing with
+    encoder+decoder scales (proves the path filter gates execution)."""
+    model, params, scales = calibrated
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.random((1, 4, 64, 64, 1)), jnp.float32)
+    batches = [np.asarray(frames)]
+    scales_all = quant.calibrate_act_scales(model, params, batches,
+                                            scope="all")
+    assert any(not p.startswith("encoder") for p in scales_all)
+    q_enc = quant.w8a8_model(model, scales)
+    q_all = quant.w8a8_model(model, scales_all)
+    le, _ = jax.jit(q_enc.apply)(params, frames)
+    la, _ = jax.jit(q_all.apply)(params, frames)
+    assert not np.allclose(np.asarray(le), np.asarray(la))

@@ -9,6 +9,7 @@ recurrence.
 import threading
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -310,3 +311,37 @@ def test_resize_cache_capped(small_model, engine):
         masks = engine.infer(sid, video)
         assert masks.shape == (2, SIZE, SIZE)
     assert len(engine._resize_cache) <= _RESIZE_CACHE_MAX
+
+
+def test_engine_quantized_model_exact_vs_stream_video(small_model):
+    """A W8A8-quantized model (ops/quant.py) serves bit-identically to its
+    own direct stream_video output — the engine's slot machinery must be
+    transparent to the quantized forward, and the quant cfg tag must keep
+    its jitted traces separate from the full-precision fixture's."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    from gdkvm_tpu.ops import quant
+
+    model, params = small_model
+    rng = np.random.default_rng(7)
+    batches = [rng.random((1, CHUNK, SIZE, SIZE, 1)).astype(np.float32)]
+    scales = quant.calibrate_act_scales(model, params, batches)
+    qmodel = quant.w8a8_model(model, scales)
+
+    video = _video(11, t=6)
+    eng = BatchingEngine(model=qmodel, params=params, streams=2,
+                         chunk=CHUNK, image_size=SIZE)
+    try:
+        sid = eng.open_session()["session"]
+        got = eng.infer(sid, video)
+    finally:
+        eng.close()
+    want = stream_video(qmodel, params, video, chunk=CHUNK)
+    np.testing.assert_array_equal(got, want)
+    # Execution-path check (not mask-level, which argmax can mask): the
+    # quantized model's LOGITS must differ from full precision, proving
+    # the engine really ran the int8 path rather than a cache collision
+    # with the fp trace (the cfg quant tag is what prevents that).
+    frames = jnp.asarray(video[None, :CHUNK], jnp.float32) / 255.0
+    lq, _ = jax.jit(qmodel.apply)(params, frames)
+    lf, _ = jax.jit(model.apply)(params, frames)
+    assert not np.allclose(np.asarray(lq), np.asarray(lf))
