@@ -566,6 +566,9 @@ def cmd_export(argv) -> int:
                    help="default: data.image_size")
     p.add_argument("--platforms", default=None,
                    help="comma list, e.g. tpu,cpu (needs gdr_impl=chunked)")
+    p.add_argument("--quant-scales", default=None,
+                   help="W8A8 scales JSON from `gdkvm quant` — bake the "
+                        "quantized conv path into the artifact")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -580,6 +583,9 @@ def cmd_export(argv) -> int:
     else:
         params = init_params(model, jax.random.PRNGKey(0),
                              cfg.data.image_size)
+    if args.quant_scales:
+        from gdkvm_tpu.ops import quant as _Q
+        model = _Q.w8a8_model(model, _Q.load_scales(args.quant_scales))
     platforms = args.platforms.split(",") if args.platforms else None
     meta = save_artifact(args.out, model, params,
                          image_size=args.image_size or cfg.data.image_size,

@@ -84,3 +84,32 @@ def test_export_cli_roundtrip(tmp_path):
     assert meta["format"] == "gdkvm-stablehlo-v1"
     rc = main(["serve-check", "--artifact", art, "--chunks", "2"])
     assert rc == 0
+
+
+def test_export_quantized_model_roundtrip(tmp_path):
+    """A W8A8 model exports to StableHLO with the int8 convs baked in and
+    the artifact reproduces the quantized model's own apply exactly."""
+    from gdkvm_tpu.ops import quant
+
+    model, params = _tiny_model()
+    rng = np.random.default_rng(5)
+    batches = [rng.random((1, 3, 32, 32, 1)).astype(np.float32)]
+    scales = quant.calibrate_act_scales(model, params, batches)
+    qmodel = quant.w8a8_model(model, scales)
+
+    art = str(tmp_path / "qart")
+    save_artifact(art, qmodel, params, image_size=32, chunk=3, batch=1)
+    sm = load_artifact(art)
+    frames = rng.integers(0, 255, (1, 3, 32, 32, 1), np.uint8)
+    mem, seen = sm.init_state()
+    logits, mem1, _ = sm.step(frames, mem, seen)
+
+    ref_logits, ref_state = qmodel.apply(
+        params, jnp.asarray(frames, jnp.float32) / 255.0)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=1e-5, atol=1e-5)
+    # And it genuinely differs from the full-precision export (the int8
+    # path is in the program, not lost in lowering).
+    fp_logits, _ = model.apply(
+        params, jnp.asarray(frames, jnp.float32) / 255.0)
+    assert not np.allclose(np.asarray(logits), np.asarray(fp_logits))
