@@ -665,6 +665,11 @@ def cmd_serve(argv) -> int:
     p.add_argument("--quant-scales", default=None,
                    help="W8A8 scales JSON from `gdkvm quant` — serve the "
                         "quantized conv path (checkpoint path only)")
+    p.add_argument("--mesh", default=None,
+                   help="shard the slot pool over a device mesh: 'auto' "
+                        "(config parallel.{data_axis,model_axis}) or "
+                        "'DxM' e.g. 4x1; streams must divide by D "
+                        "(checkpoint path only)")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
     streams = args.streams or max(cfg.eval_stage.streams, 1)
@@ -672,10 +677,26 @@ def cmd_serve(argv) -> int:
     ekw = dict(max_inflight_mb=args.max_inflight_mb,
                warmup=not args.no_warmup, pack_masks=not args.no_pack)
 
+    mesh = None
+    if args.mesh:
+        from gdkvm_tpu.parallel import make_mesh
+        if args.mesh == "auto":
+            mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
+        else:
+            try:
+                d, m = (int(x) for x in args.mesh.lower().split("x"))
+            except ValueError:
+                print(f"error: --mesh must be 'auto' or 'DxM', got "
+                      f"{args.mesh!r}", file=sys.stderr)
+                return 2
+            mesh = make_mesh(d, m)
+        ekw["mesh"] = mesh
+
     if args.artifact:
-        if args.quant_scales:
-            print("error: --quant-scales applies to the checkpoint path; "
-                  "artifacts are already-lowered programs", file=sys.stderr)
+        if args.quant_scales or mesh is not None:
+            print("error: --quant-scales/--mesh apply to the checkpoint "
+                  "path; artifacts are already-lowered programs",
+                  file=sys.stderr)
             return 2
         engine = BatchingEngine(artifact=args.artifact, streams=streams,
                                 chunk=chunk, **ekw)

@@ -31,6 +31,14 @@ Design (TPU-first):
   - Backpressure: the engine bounds in-flight request bytes
     (``max_inflight_mb``); beyond it, infer raises EngineOverloaded
     (HTTP 429) instead of queueing unboundedly.
+  - Multi-chip: pass a ``jax.sharding.Mesh`` (``--mesh`` on the CLI) and
+    the slot pool shards over the 'data' axis — each chip owns
+    streams/d slots and their GDR states, the tick stays ONE jit over
+    the mesh (slots never interact, so the forward needs no
+    collectives; 'model' > 1 shards LKVA heads as in training), and
+    per-tick frames ship only to the chip that owns their slot.
+    Serving throughput scales with chips the same way training batch
+    does; exactness vs single-device is tested on the CPU mesh.
 
 Endpoints:
   POST   /v1/sessions                  → {"session": id, "slot": n}
@@ -90,7 +98,8 @@ class BatchingEngine:
     def __init__(self, *, model=None, params=None, artifact=None,
                  streams: int = 4, chunk: int = 16, image_size: int = 112,
                  tick_ms: float = 1.0, warmup: bool = True,
-                 max_inflight_mb: float = 256.0, pack_masks: bool = True):
+                 max_inflight_mb: float = 256.0, pack_masks: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -101,6 +110,29 @@ class BatchingEngine:
         self.streams = streams
         self.chunk = chunk
         self.image_size = image_size
+
+        # Multi-chip serving: the slot pool shards over the mesh's 'data'
+        # axis (each chip owns streams/d slots and its own GDR states; the
+        # step is ONE jit over the mesh — XLA inserts no collectives in
+        # the forward because slots never interact; 'model' > 1 shards the
+        # LKVA heads as in training).  Per-tick frames are assembled
+        # host-side and device_put with the batch sharding, so each byte
+        # ships only to the chip that owns its slot.
+        self._mesh = mesh
+        self._shard = None
+        if mesh is not None:
+            if artifact is not None:
+                raise ValueError(
+                    "mesh serving requires the (model, params) path — an "
+                    "exported artifact is already lowered for one device")
+            from gdkvm_tpu.parallel import mesh as M
+            d = mesh.shape[M.DATA_AXIS]
+            if streams % d:
+                raise ValueError(
+                    f"streams={streams} must be divisible by the mesh "
+                    f"data axis ({d}) so every chip owns whole slots")
+            self._shard = M.batch_sharding(mesh)
+            params = jax.device_put(params, M.param_shardings(mesh, params))
 
         if artifact is not None:
             from gdkvm_tpu.io.export import load_artifact
@@ -145,7 +177,10 @@ class BatchingEngine:
 
             frames: tuple of S (chunk,H,W,1) u8 arrays — stacked INSIDE
             the jit (an eager stack between jit calls is a separate
-            dispatch every tick on remote platforms).
+            dispatch every tick on remote platforms).  Mesh mode instead
+            receives ONE (S,chunk,H,W,1) array already sharded over
+            'data' (host-assembled — committed per-slot device arrays on
+            different chips cannot be restacked inside one jit).
             flags: (2,S) f32 — one upload per tick, not two:
               flags[0] = active 1/0.  Inactive slots still compute
               (static shapes) but their memory does not move and their
@@ -153,7 +188,8 @@ class BatchingEngine:
               flags[1] = resets 1/0 — slots whose state is zeroed BEFORE
               the tick (device-side session reset; no host round trip).
             """
-            frames_u8 = jnp.stack(frames)
+            frames_u8 = frames if self._mesh is not None \
+                else jnp.stack(frames)
             active, resets = flags[0], flags[1]
             keep = (1.0 - resets)
             mem_in = mem * keep.reshape((-1,) + (1,) * (mem.ndim - 1))
@@ -166,8 +202,10 @@ class BatchingEngine:
             return masks, mem_out, seen_out
 
         self._step = jax.jit(step, donate_argnums=(1, 2))
-        self._mem = jax.device_put(jnp.zeros(mem_shape, jnp.float32))
-        self._seen = jax.device_put(jnp.zeros((streams,), jnp.int32))
+        put_state = (lambda a: jax.device_put(a, self._shard)) \
+            if self._shard is not None else jax.device_put
+        self._mem = put_state(jnp.zeros(mem_shape, jnp.float32))
+        self._seen = put_state(jnp.zeros((streams,), jnp.int32))
         self._post_cache: Dict[int, object] = {}   # n_active → jitted fn
         self._split_cache: Dict[int, object] = {}  # n_pieces → jitted fn
 
@@ -183,8 +221,9 @@ class BatchingEngine:
         self._inflight_bytes = 0
         self._max_inflight = int(max_inflight_mb * 1e6)
         self.ticks = 0
-        self._zero_dev = jax.device_put(np.zeros(
-            (self.chunk, self.image_size, self.image_size, 1), np.uint8))
+        self._zero_dev = None if self._mesh is not None else jax.device_put(
+            np.zeros((self.chunk, self.image_size, self.image_size, 1),
+                     np.uint8))
         if warmup:
             self._warmup()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -241,12 +280,32 @@ class BatchingEngine:
         out = np.stack(lanes, axis=-1)               # (..., W/ppb, ppb)
         return out.reshape(packed.shape[:-1] + (packed.shape[-1] * ppb,))
 
+    def _frames_arg(self, batch_pieces: Dict[int, "_Piece"]):
+        """Build the step's frames argument for one tick.
+
+        Single-device: a tuple of per-slot DEVICE arrays (pieces were
+        staged at request time; idle slots reuse one zero buffer) —
+        stacked inside the jit.  Mesh: pieces are host numpy (staging to
+        the owning chip happens here), assembled into one (S,…) array and
+        device_put with the batch sharding so each byte ships only to the
+        chip that owns its slot."""
+        if self._mesh is None:
+            frames = [self._zero_dev] * self.streams
+            for slot, piece in batch_pieces.items():
+                frames[slot] = piece.frames_dev
+            return tuple(frames)
+        fnp = np.zeros((self.streams, self.chunk, self.image_size,
+                        self.image_size, 1), np.uint8)
+        for slot, piece in batch_pieces.items():
+            fnp[slot] = piece.frames_dev
+        return self._jax.device_put(fnp, self._shard)
+
     def _warmup(self):
         """Compile the tick step (and the saturated-path postprocess) at
         construction, so the first user request does not pay the jit
         compile (~20 s cold through a remote-compile tunnel)."""
         jax, jnp = self._jax, self._jnp
-        fb = tuple([self._zero_dev] * self.streams)
+        fb = self._frames_arg({})
         zeros = jnp.zeros((2, self.streams), jnp.float32)
         masks, self._mem, self._seen = self._step(
             fb, self._mem, self._seen, zeros)
@@ -364,8 +423,16 @@ class BatchingEngine:
         if pad:
             video_u8 = np.concatenate(
                 [video_u8, np.repeat(video_u8[-1:], pad, axis=0)])
-        vdev = jax.device_put(np.ascontiguousarray(video_u8))
-        devs = (vdev,) if n_pieces == 1 else self._split_fn(n_pieces)(vdev)
+        if self._mesh is not None:
+            # Mesh mode stages at TICK time (the slot's owning chip is a
+            # sharding decision, not a default-device put); pieces stay
+            # host numpy here.
+            devs = tuple(video_u8[i * self.chunk:(i + 1) * self.chunk]
+                         for i in range(n_pieces))
+        else:
+            vdev = jax.device_put(np.ascontiguousarray(video_u8))
+            devs = (vdev,) if n_pieces == 1 \
+                else self._split_fn(n_pieces)(vdev)
         piece_bytes = video_u8.nbytes // n_pieces
         pieces = [_Piece(d, piece_bytes) for d in devs]
         with self._work:
@@ -425,16 +492,14 @@ class BatchingEngine:
             nxt = None
             if batch_pieces or resets:
                 try:
-                    frames = [self._zero_dev] * self.streams
                     flags = np.zeros((2, self.streams), np.float32)
                     for slot in resets:
                         flags[1, slot] = 1.0
-                    for slot, piece in batch_pieces.items():
-                        frames[slot] = piece.frames_dev
+                    for slot in batch_pieces:
                         flags[0, slot] = 1.0
                     masks, self._mem, self._seen = self._step(
-                        tuple(frames), self._mem, self._seen,
-                        jnp.asarray(flags))
+                        self._frames_arg(batch_pieces), self._mem,
+                        self._seen, jnp.asarray(flags))
                     if batch_pieces:
                         idx = sorted(batch_pieces)
                         out = self._post_fn(len(idx))(
@@ -511,6 +576,8 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
                     "image_size": engine.image_size,
                     "num_classes": engine.num_classes,
                     "ticks": engine.ticks,
+                    "mesh": (dict(engine._mesh.shape)
+                             if engine._mesh is not None else None),
                 })
             else:
                 self._json(404, {"error": "not found"})

@@ -345,3 +345,66 @@ def test_engine_quantized_model_exact_vs_stream_video(small_model):
     lq, _ = jax.jit(qmodel.apply)(params, frames)
     lf, _ = jax.jit(model.apply)(params, frames)
     assert not np.allclose(np.asarray(lq), np.asarray(lf))
+
+
+def test_engine_mesh_sharded_exact_vs_stream_video(small_model):
+    """Slot pool sharded over a 4-chip 'data' mesh serves bit-identically
+    to single-device stream_video per session (slots never interact; the
+    data axis only changes WHERE a slot's state lives)."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    from gdkvm_tpu.parallel.mesh import make_mesh
+
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=4,
+                         chunk=CHUNK, image_size=SIZE,
+                         mesh=make_mesh(data=4, model=1))
+    try:
+        vids = {eng.open_session()["session"]: _video(40 + i, t=9)
+                for i in range(3)}
+        got = {}
+        ts = []
+        for sid, v in vids.items():
+            t = threading.Thread(
+                target=lambda s=sid, vv=v: got.__setitem__(
+                    s, eng.infer(s, vv)))
+            t.start()
+            ts.append(t)
+        for t in ts:
+            t.join(timeout=120)
+    finally:
+        eng.close()
+    for sid, v in vids.items():
+        want = stream_video(model, params, v, chunk=CHUNK)
+        np.testing.assert_array_equal(got[sid], want)
+
+
+def test_engine_mesh_with_model_axis_smoke(small_model):
+    """data=2 × model=2 (LKVA heads sharded): the serving tick runs over
+    the 2D mesh; masks agree with single-device up to the fp32
+    reassociation the head psum introduces (≥99% pixel agreement on a
+    random init is far beyond chance for 2 classes)."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    from gdkvm_tpu.parallel.mesh import make_mesh
+
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=2,
+                         chunk=CHUNK, image_size=SIZE,
+                         mesh=make_mesh(data=2, model=2))
+    try:
+        sid = eng.open_session()["session"]
+        video = _video(50, t=6)
+        got = eng.infer(sid, video)
+    finally:
+        eng.close()
+    want = stream_video(model, params, video, chunk=CHUNK)
+    assert got.shape == want.shape
+    assert (got == want).mean() > 0.99
+
+
+def test_engine_mesh_streams_divisibility_error(small_model):
+    from gdkvm_tpu.parallel.mesh import make_mesh
+    model, params = small_model
+    with pytest.raises(ValueError, match="divisible"):
+        BatchingEngine(model=model, params=params, streams=3,
+                       chunk=CHUNK, image_size=SIZE,
+                       mesh=make_mesh(data=4, model=1), warmup=False)
