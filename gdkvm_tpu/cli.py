@@ -263,16 +263,28 @@ def cmd_quant(argv) -> int:
         params = init_params(model, jax.random.PRNGKey(0),
                              cfg.data.image_size)
 
-    # Calibration clips: the configured dataset's inference distribution
-    # (synthetic generator mirrors the eval source when no real data is
-    # mounted — same source stream_evaluate uses).
-    from gdkvm_tpu.data import synthetic as _synth
+    # Calibration clips: the configured dataset's inference distribution —
+    # real val clips when the dataset is mounted, else the synthetic
+    # generator (the same source stream_evaluate falls back to).
     s, k = cfg.data.image_size, cfg.model.num_classes
     batches = []
-    for i in range(args.calib_clips):
-        f, _ = _synth.generate_video(7000 + i, cfg.data.clip_len, s, s, k,
-                                     cfg.data.synth_difficulty)
-        batches.append(f[None].astype(np.float32) / 255.0)
+    if cfg.data.dataset != "synthetic":
+        try:
+            from gdkvm_tpu.data.pipeline import make_dataset
+            ds = make_dataset(cfg.data, cfg.data.val_split, k)
+            for i in range(min(args.calib_clips, len(ds))):
+                frames = ds[i][0]                      # (T,H,W,1) uint8
+                batches.append(frames[None].astype(np.float32) / 255.0)
+        except Exception as exc:
+            print(f"warning: {cfg.data.dataset} calibration clips "
+                  f"unavailable ({exc}); falling back to synthetic",
+                  file=sys.stderr)
+    if not batches:
+        from gdkvm_tpu.data import synthetic as _synth
+        for i in range(args.calib_clips):
+            f, _ = _synth.generate_video(7000 + i, cfg.data.clip_len, s, s,
+                                         k, cfg.data.synth_difficulty)
+            batches.append(f[None].astype(np.float32) / 255.0)
 
     scales = Q.calibrate_act_scales(model, params, batches,
                                     scope=args.scope)
@@ -863,6 +875,10 @@ def cmd_parity(argv) -> int:
                         "of a clinical protocol (parity.memory_ablation)")
     p.add_argument("--ablate-videos", type=int, default=8)
     p.add_argument("--ablate-video-len", type=int, default=64)
+    p.add_argument("--quant-scales", default=None,
+                   help="W8A8 scales JSON from `gdkvm quant` — score the "
+                        "quantized serving path (e.g. --ablate to check "
+                        "the robustness mechanism survives quantization)")
     args = p.parse_args(flags)
     cfg = load_config(args.config, overrides)
 
@@ -879,6 +895,9 @@ def cmd_parity(argv) -> int:
               file=sys.stderr)
         params = init_params(model, jax.random.PRNGKey(0),
                              cfg.data.image_size)
+    if args.quant_scales:
+        from gdkvm_tpu.ops import quant as _Q
+        model = _Q.w8a8_model(model, _Q.load_scales(args.quant_scales))
 
     protocol = args.protocol
     if protocol == "auto":

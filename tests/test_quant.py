@@ -141,3 +141,49 @@ def test_uncalibrated_convs_run_full_precision(calibrated):
     le, _ = jax.jit(q_enc.apply)(params, frames)
     la, _ = jax.jit(q_all.apply)(params, frames)
     assert not np.allclose(np.asarray(le), np.asarray(la))
+
+
+def test_quant_cli_calibrates_on_real_dataset(tmp_path, monkeypatch):
+    """`gdkvm quant` pulls calibration clips from the configured dataset
+    (materialized CAMUS here), not the synthetic generator, and writes a
+    usable scales JSON.  The synthetic fallback is poisoned so silently
+    falling back would fail the test."""
+    from gdkvm_tpu.cli import main
+    from gdkvm_tpu.data import synthetic as synth_mod
+    from gdkvm_tpu.data.camus import materialize_synthetic_camus
+
+    monkeypatch.setattr(
+        synth_mod, "generate_video",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("fell back to synthetic calibration")))
+
+    root = str(tmp_path / "camus")
+    materialize_synthetic_camus(root, num_train=2, num_val=2,
+                                image_size=64, clip_len=3, num_classes=2)
+    out = str(tmp_path / "scales.json")
+    cfg = str(tmp_path / "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(f"""
+data:
+  dataset: camus
+  data_path: {root}
+  image_size: 64
+  clip_len: 3
+model:
+  num_classes: 2
+  in_channels: 1
+  enc_channels: [8, 16, 24, 32]
+  enc_blocks: [1, 1, 1, 1]
+  num_heads: 2
+  head_dim_k: 16
+  head_dim_v: 16
+  kpff_channels: [24, 16, 8]
+  compute_dtype: float32
+runtime:
+  run_dir: {tmp_path}/run
+""")
+    rc = main(["quant", "--config", cfg, "--out", out,
+               "--calib-clips", "2"])
+    assert rc == 0
+    scales = quant.load_scales(out)
+    assert scales and all(p.startswith("encoder") for p in scales)
