@@ -239,6 +239,12 @@ def cmd_quant(argv) -> int:
                    help="which convs to calibrate (encoder = the "
                         "measured-win region)")
     p.add_argument("--calib-clips", type=int, default=4)
+    p.add_argument("--method", default="absmax",
+                   choices=["absmax", "percentile"],
+                   help="activation-range statistic: absmax (exact) or "
+                        "percentile (robust to speckle outliers)")
+    p.add_argument("--percentile", type=float, default=99.9,
+                   help="percentile of |x| when --method percentile")
     p.add_argument("--check", action="store_true",
                    help="run streaming eval full-precision vs w8a8 and "
                         "report the Dice delta + throughput both ways")
@@ -287,13 +293,14 @@ def cmd_quant(argv) -> int:
             batches.append(f[None].astype(np.float32) / 255.0)
 
     scales = Q.calibrate_act_scales(model, params, batches,
-                                    scope=args.scope)
+                                    scope=args.scope, method=args.method,
+                                    percentile=args.percentile)
     out_path = args.out or os.path.join(cfg.runtime.run_dir,
                                         "quant_scales.json")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     Q.save_scales(out_path, scales)
     result = {"scales": out_path, "n_convs": len(scales),
-              "scope": args.scope}
+              "scope": args.scope, "method": args.method}
 
     if args.check:
         from gdkvm_tpu.eval.streaming import stream_evaluate

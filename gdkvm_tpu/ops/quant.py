@@ -16,8 +16,12 @@ Design — no model-code duplication, no param-tree change:
   weights at trace time.  Everything else (GroupNorm, SiLU, residual
   adds, the GDR memory, the decoder einsums) runs exactly as before.
 - Activation scales are STATIC floats (trace-time constants) calibrated
-  offline by observing abs-max (or a percentile) over calibration
-  batches — one number per conv path (per-tensor symmetric).
+  offline by observing abs-max or a high percentile of |x| over
+  calibration batches — one number per conv path (per-tensor symmetric).
+  Percentile mode (``method="percentile"``) is the outlier-robust choice
+  for real ultrasound: a single hot speckle pixel in a calibration clip
+  collapses the abs-max int8 range, while the 99.9th percentile of |x|
+  ignores it (tests/test_quant.py::test_percentile_calibration_robust).
 - ``QuantGDKVM`` is the user-facing handle: a ``GDKVM`` subclass carrying
   the scale table; its ``cfg.quant`` tag ensures the shared jitted-apply
   caches (eval/streaming.py, serve.py) key quantized and full-precision
@@ -34,7 +38,7 @@ Measured motivation (v5e, floor-corrected; BASELINE.md r3.8): raw int8
 GroupNorm between convs keeps +1.2× at the saturated 112² serving shape
 but LOSES at the memory-bound 256² recipe shape — so this is a
 serving-shape feature, off by default, gated by a measured quality check
-(`gdkvm quant-check`).
+(`gdkvm quant --check`).
 """
 
 from __future__ import annotations
@@ -130,15 +134,17 @@ def _w8a8_interceptor(scales: Mapping[str, float]) -> Callable:
     return interceptor
 
 
-def _observe_interceptor(sink: Dict[str, list]) -> Callable:
-    """Record each eligible conv's input abs-max into ``sink`` (tracers —
-    the wrapping jit must return them as outputs) — the calibration pass."""
+def _observe_interceptor(sink: Dict[str, list],
+                         stat_fn: Callable) -> Callable:
+    """Record ``stat_fn(|x|)`` of each eligible conv's input into ``sink``
+    (tracers — the wrapping jit must return them as outputs) — the
+    calibration pass."""
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         if context.method_name == "__call__" and _eligible(mod):
             sink.setdefault(_mod_path(mod), []).append(
-                jnp.max(jnp.abs(args[0].astype(jnp.float32))))
+                stat_fn(jnp.abs(args[0].astype(jnp.float32))))
         return next_fun(*args, **kwargs)
 
     return interceptor
@@ -147,25 +153,41 @@ def _observe_interceptor(sink: Dict[str, list]) -> Callable:
 def calibrate_act_scales(model: GDKVM, params,
                          batches: Iterable[np.ndarray],
                          scope: str = "encoder",
-                         headroom: float = 1.0) -> Dict[str, float]:
-    """Run calibration batches through the model, collect per-conv input
-    abs-max, return {module_path: act_scale}.
+                         headroom: float = 1.0,
+                         method: str = "absmax",
+                         percentile: float = 99.9) -> Dict[str, float]:
+    """Run calibration batches through the model, collect a per-conv input
+    range statistic, return {module_path: act_scale}.
 
     Args:
       batches: iterable of (B, T, H, W, C) float frame clips (normalized
         exactly as inference will see them).
       scope: "encoder" (default — the measured-win region), "decoder", or
         "all"; path-prefix filter on which convs get calibrated.
-      headroom: multiplier on the observed abs-max (>=1 clips less).
+      headroom: multiplier on the observed statistic (>=1 clips less).
+      method: "absmax" (exact range; outlier-fragile) or "percentile"
+        (``percentile``-th percentile of |x| per batch — robust to sparse
+        speckle outliers in real ultrasound; values above the scale clip
+        to ±127 in the int8 path).
+      percentile: percentile of |x| used when method="percentile".
     """
+    if method not in ("absmax", "percentile"):
+        raise ValueError(f"unknown calibration method {method!r}")
+    if method == "percentile":
+        stat_fn = lambda a: jnp.percentile(a.reshape(-1), percentile)
+    else:
+        stat_fn = jnp.max
+
     @jax.jit
     def fwd(frames):
         # The interceptor records tracers into `sink` DURING tracing, so
-        # the per-conv abs-max scalars must be returned as jit outputs —
+        # the per-conv statistic scalars must be returned as jit outputs —
         # reading the closure after the call would leak tracers.
         sink: Dict[str, list] = {}
-        with nn.intercept_methods(_observe_interceptor(sink)):
+        with nn.intercept_methods(_observe_interceptor(sink, stat_fn)):
             model.apply(params, frames)
+        # Across a conv's multiple call sites within one clip: max of the
+        # per-site statistics (each already outlier-robust in pct mode).
         return {k: jnp.max(jnp.stack(v)) for k, v in sink.items()}
 
     amax: Dict[str, float] = {}

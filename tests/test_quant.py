@@ -143,6 +143,52 @@ def test_uncalibrated_convs_run_full_precision(calibrated):
     assert not np.allclose(np.asarray(le), np.asarray(la))
 
 
+def test_percentile_calibration_robust(calibrated):
+    """One hot pixel in a calibration clip must not collapse the int8
+    range (VERDICT r3 item 2): absmax calibration inflates the stem scale
+    ~100x and wrecks the masks; the percentile path ignores the outlier
+    and stays at full-precision quality."""
+    model, params, scales_clean = calibrated
+    rng = np.random.default_rng(5)
+    clip = rng.random((1, 4, 64, 64, 1)).astype(np.float32)
+    outlier = clip.copy()
+    outlier[0, 0, 3, 3, 0] = 100.0       # one speckle spike
+    batches = [outlier]
+
+    s_absmax = quant.calibrate_act_scales(model, params, batches,
+                                          scope="encoder")
+    s_pct = quant.calibrate_act_scales(model, params, batches,
+                                       scope="encoder",
+                                       method="percentile",
+                                       percentile=99.9)
+    # Per-conv inflation vs clean calibration: the stem (which sees the
+    # raw input) blows up 100x under absmax; every percentile scale stays
+    # within a small factor of its clean value.
+    r_abs = max(s_absmax[k] / scales_clean[k] for k in scales_clean)
+    r_pct = max(s_pct[k] / scales_clean[k] for k in scales_clean)
+    assert r_abs > 10.0, f"outlier did not inflate absmax (r={r_abs:.2f})"
+    assert r_pct < 3.0, f"percentile not robust (r={r_pct:.2f})"
+
+    # Quality: evaluate on a CLEAN clip; percentile scales must track the
+    # full-precision masks, outlier-poisoned absmax scales must not.
+    frames = jnp.asarray(rng.random((1, 4, 64, 64, 1)), jnp.float32)
+    m_fp = np.asarray(jnp.argmax(jax.jit(model.apply)(params, frames)[0],
+                                 -1))
+    agree = {}
+    for name, s in [("absmax", s_absmax), ("pct", s_pct)]:
+        q = quant.w8a8_model(model, s)
+        m = np.asarray(jnp.argmax(jax.jit(q.apply)(params, frames)[0], -1))
+        agree[name] = (m == m_fp).mean()
+    assert agree["pct"] > 0.95, agree
+    assert agree["pct"] > agree["absmax"], agree
+
+
+def test_calibration_method_validation(calibrated):
+    model, params, _ = calibrated
+    with pytest.raises(ValueError, match="calibration method"):
+        quant.calibrate_act_scales(model, params, [], method="minmax")
+
+
 def test_quant_cli_calibrates_on_real_dataset(tmp_path, monkeypatch):
     """`gdkvm quant` pulls calibration clips from the configured dataset
     (materialized CAMUS here), not the synthetic generator, and writes a
