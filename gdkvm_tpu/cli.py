@@ -82,7 +82,7 @@ def cmd_bench(argv) -> int:
     p = argparse.ArgumentParser(prog="gdkvm bench")
     p.add_argument("--config", default=None)
     p.add_argument("--mode", choices=("stream", "train", "latency",
-                                      "modules"),
+                                      "modules", "all"),
                    default="stream")
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
@@ -90,9 +90,22 @@ def cmd_bench(argv) -> int:
     p.add_argument("--grad", action="store_true",
                    help="modules mode: fwd+bwd (train-step) breakdown "
                         "using the training-trace model config")
+    p.add_argument("--out", default="bench_all.json",
+                   help="all mode: consolidated artifact path")
+    p.add_argument("--smoke", action="store_true",
+                   help="all mode: tiny shapes/model (CI contract run)")
     args = p.parse_args(flags)
-    cfg = load_config(args.config, overrides)
 
+    if args.mode == "all":
+        from gdkvm_tpu.eval.regression import bench_all, validate_artifact, \
+            write_artifact
+        artifact = bench_all(smoke=args.smoke)
+        validate_artifact(artifact)
+        write_artifact(artifact, args.out)
+        print(json.dumps(artifact))
+        return 0
+
+    cfg = load_config(args.config, overrides)
     model = GDKVM(cfg=cfg.model)
     if args.mode == "modules" and args.grad:
         from gdkvm_tpu.eval.modulebench import grad_breakdown

@@ -31,12 +31,17 @@ def maybe_initialize_distributed() -> bool:
     coord = os.environ.get("GDKVM_COORDINATOR")
     nproc = os.environ.get("GDKVM_NUM_PROCESSES")
     pid = os.environ.get("GDKVM_PROCESS_ID")
+    # Rendezvous margin: on a loaded host (noisy CI neighbors) the default
+    # initialization timeout can expire while peer processes are still
+    # starting; GDKVM_DIST_TIMEOUT widens it.
+    timeout = int(os.environ.get("GDKVM_DIST_TIMEOUT", "300"))
     try:
         if coord and nproc and pid:
             jax.distributed.initialize(
                 coordinator_address=coord,
                 num_processes=int(nproc),
                 process_id=int(pid),
+                initialization_timeout=timeout,
             )
             _initialized = True
         elif os.environ.get("GDKVM_AUTO_DISTRIBUTED") == "1":

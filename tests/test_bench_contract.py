@@ -82,6 +82,34 @@ def test_train_bench_mode():
     assert out["image_size"] == 32
 
 
+def test_bench_all_artifact_schema(tmp_path):
+    """gdkvm bench --mode all --smoke: one schema-versioned JSON artifact
+    with every section present and internally valid (VERDICT r3 item 7).
+    The consolidated artifact is the round-over-round regression record —
+    BASELINE.md links the TPU-measured instance."""
+    import json, io, contextlib
+    from gdkvm_tpu.cli import main
+    from gdkvm_tpu.eval.regression import SECTIONS, validate_artifact
+    out = str(tmp_path / "bench_all.json")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["bench", "--mode", "all", "--smoke", "--out", out])
+    assert rc == 0
+    with open(out) as f:
+        artifact = json.load(f)
+    validate_artifact(artifact)          # shared schema checker
+    # The smoke run on CPU must produce REAL numbers (not error fallbacks)
+    # for every section — fault isolation is for flaky hardware, not CI.
+    for name in SECTIONS:
+        sec = artifact["sections"][name]
+        assert "error" not in sec, (name, sec)
+    assert artifact["sections"]["serve_112"]["frames_per_sec"] > 0
+    assert artifact["sections"]["quant_ab"]["fwd_ms_w8a8"] > 0
+    # stdout carries the same artifact (pipe-able).
+    printed = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert printed["schema"] == artifact["schema"]
+
+
 def test_modules_bench_mode():
     """gdkvm bench --mode modules: per-module FLOPs/time accounting sums
     to ~the full model and reports the meta block."""

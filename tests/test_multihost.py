@@ -149,12 +149,15 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_train_step(tmp_path):
+def _launch_workers(ckpt_dir: str):
+    """Spawn the 2-process rendezvous once; return parsed worker outputs
+    or raise RuntimeError with both workers' stderr."""
     port = _free_port()
     env_base = dict(os.environ)
     env_base.pop("XLA_FLAGS", None)             # workers pick their own
     env_base["GDKVM_PLATFORM"] = "cpu"
-    env_base["GDKVM_TEST_CKPT"] = str(tmp_path / "ckpt")
+    env_base["GDKVM_TEST_CKPT"] = ckpt_dir
+    env_base["GDKVM_DIST_TIMEOUT"] = "600"      # loaded-host margin
     procs = []
     for rank in range(2):
         env = dict(env_base)
@@ -163,11 +166,36 @@ def test_two_process_distributed_train_step(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, "-c", _WORKER], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+    outs, errs = [], []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            errs.append(err)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker failed:\n{err[-3000:]}")
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return outs
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    # One retry: on a loaded 1-CPU host the rendezvous/collectives can
+    # time out through no fault of the code (measured in the r3 review:
+    # failed under a concurrent suite, passed isolated).  A fresh attempt
+    # on a fresh port distinguishes "code broken" (fails twice) from
+    # "host busy" (second attempt succeeds).
+    try:
+        outs = _launch_workers(str(tmp_path / "ckpt"))
+    except (RuntimeError, subprocess.TimeoutExpired) as first:
+        import shutil
+        shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+        print(f"first attempt failed ({first}); retrying once", flush=True)
+        outs = _launch_workers(str(tmp_path / "ckpt"))
     assert {o["process"] for o in outs} == {0, 1}
     # Train-step loss, sharded-eval Dice, and the post-restore step's loss
     # must each be IDENTICAL across ranks: every one is the result of a
