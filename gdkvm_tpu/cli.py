@@ -689,6 +689,9 @@ def cmd_serve(argv) -> int:
     p.add_argument("--max-inflight-mb", type=float, default=256.0,
                    help="in-flight request byte budget; beyond it infer "
                         "returns HTTP 429 instead of queueing")
+    p.add_argument("--session-ttl", type=float, default=300.0,
+                   help="idle-session GC: reclaim a slot whose client "
+                        "has been silent this many seconds (0 disables)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the constructor warmup tick (first request "
                         "then pays the jit compile)")
@@ -707,7 +710,8 @@ def cmd_serve(argv) -> int:
     streams = args.streams or max(cfg.eval_stage.streams, 1)
     chunk = args.chunk or cfg.eval_stage.stream_chunk
     ekw = dict(max_inflight_mb=args.max_inflight_mb,
-               warmup=not args.no_warmup, pack_masks=not args.no_pack)
+               warmup=not args.no_warmup, pack_masks=not args.no_pack,
+               session_ttl=args.session_ttl or None)
 
     mesh = None
     if args.mesh:

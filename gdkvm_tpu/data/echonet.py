@@ -189,10 +189,16 @@ class EchoNetDataset:
 def materialize_synthetic_echonet(root: str, num_train: int = 8,
                                   num_val: int = 2, num_frames: int = 32,
                                   image_size: int = 112, seed: int = 0,
-                                  difficulty: float = 0.0
+                                  difficulty: float = 0.0,
+                                  fps_cycle=(30.0,)
                                   ) -> None:
     """Write synthetic cine loops in the EchoNet-Dynamic layout (AVI +
-    FileList.csv + VolumeTracings.csv with rectangle-ish LV traces)."""
+    FileList.csv + VolumeTracings.csv with rectangle-ish LV traces).
+
+    fps_cycle: per-video FPS values, cycled — real EchoNet mixes frame
+    rates, and the FPS-aware beat-wise EF protocol (eval/parity.py) must
+    read each video's own rate; pass e.g. (30, 50) to exercise that.
+    """
     if not _HAS_CV2:
         raise ImportError("materializer requires OpenCV")
     # Area–length EF from the GT masks (same rule the parity protocol
@@ -200,11 +206,11 @@ def materialize_synthetic_echonet(root: str, num_train: int = 8,
     # ~0 EF MAE on this stand-in, exactly like real EchoNet's EF column.
     from gdkvm_tpu.eval.parity import beatwise_ef, lv_volume_area_length
     os.makedirs(os.path.join(root, "Videos"), exist_ok=True)
-    fps = 30.0
     rows = [("FileName", "EF", "FPS", "Split")]
     trows = [("FileName", "X1", "Y1", "X2", "Y2", "Frame")]
     splits = ["TRAIN"] * num_train + ["VAL"] * num_val
     for i, split in enumerate(splits):
+        fps = float(fps_cycle[i % len(fps_cycle)])
         name = f"synth{i:04d}.avi"
         frames, masks = synthetic.generate_video(
             seed * 104729 + i, num_frames, image_size, image_size, 2,

@@ -53,6 +53,26 @@ def maybe_initialize_distributed() -> bool:
     return _initialized
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes at a named coordination-service barrier.
+
+    Uses the jax.distributed coordination client directly — NO device
+    collectives — so it is safe (and cheap) to call BEFORE the comm
+    backend's first context initialization.  Why it exists: the CPU Gloo
+    backend's context init has a fixed ~30 s key-value timeout; on a
+    loaded host, per-process compile-time skew can exceed that at the
+    first cross-process collective.  A barrier immediately before each
+    first-use collective re-aligns ranks with a generous timeout, leaving
+    the 30 s window to cover only the actual handshake.  No-op when
+    jax.distributed is not initialized (single-process runs).
+    """
+    from jax._src import distributed as _dist
+    client = getattr(_dist.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_ms)
+
+
 def process_info() -> dict:
     return {
         "process_index": jax.process_index(),

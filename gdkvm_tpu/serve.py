@@ -56,6 +56,7 @@ import io
 import json
 import re
 import threading
+import time
 import uuid
 from collections import OrderedDict, deque
 from typing import Dict, Optional
@@ -99,7 +100,7 @@ class BatchingEngine:
                  streams: int = 4, chunk: int = 16, image_size: int = 112,
                  tick_ms: float = 1.0, warmup: bool = True,
                  max_inflight_mb: float = 256.0, pack_masks: bool = True,
-                 mesh=None):
+                 mesh=None, session_ttl: Optional[float] = None):
         import jax
         import jax.numpy as jnp
 
@@ -215,6 +216,13 @@ class BatchingEngine:
         self._queues: Dict[int, deque] = {}      # slot → deque[_Piece]
         self._sessions: Dict[str, int] = {}      # session id → slot
         self._free = list(range(streams))[::-1]  # pop() yields slot 0 first
+        # Idle-session GC: a crashed client would otherwise leak its slot
+        # forever and permanently shrink pool capacity.  A session with no
+        # queued work whose last activity (open / enqueue / tick) is older
+        # than session_ttl seconds is reclaimed by the batcher thread.
+        self.session_ttl = session_ttl
+        self._last_active: Dict[int, float] = {}  # slot → monotonic time
+        self.sessions_reclaimed = 0
         self._reset_slots: set = set()
         self._closed = False
         self._paused = False
@@ -324,6 +332,7 @@ class BatchingEngine:
             self._sessions[sid] = slot
             self._queues[slot] = deque()
             self._reset_slots.add(slot)     # zero state before first use
+            self._last_active[slot] = time.monotonic()
             return {"session": sid, "slot": slot}
 
     def close_session(self, sid: str) -> bool:
@@ -332,6 +341,7 @@ class BatchingEngine:
             if slot is None:
                 return False
             pending = self._queues.pop(slot, None)
+            self._last_active.pop(slot, None)
             self._free.append(slot)
         # Fail any queued pieces so a concurrent infer() unblocks instead
         # of waiting forever on work that will never be scheduled.
@@ -440,6 +450,7 @@ class BatchingEngine:
             if q is None:
                 raise KeyError(f"session {sid!r} closed")
             q.extend(pieces)
+            self._last_active[slot] = time.monotonic()
             self._inflight_bytes += sum(p.nbytes for p in pieces)
             self._work.notify()
         outs = []
@@ -465,24 +476,50 @@ class BatchingEngine:
             for piece in batch_pieces.values():
                 self._finish(piece, error=exc)
 
+    def _stale_sids(self):
+        """Sessions idle past session_ttl with no queued work (caller
+        holds self._lock)."""
+        ttl = self.session_ttl
+        if not ttl:
+            return []
+        now = time.monotonic()
+        return [sid for sid, slot in self._sessions.items()
+                if not self._queues.get(slot)
+                and now - self._last_active.get(slot, now) > ttl]
+
+    def _reclaim_idle(self) -> None:
+        """Idle-session GC (batcher thread): reclaim slots whose client
+        went away — open_session capacity must not shrink permanently
+        because a scanner crashed mid-stream."""
+        with self._lock:
+            stale = self._stale_sids()
+        for sid in stale:
+            if self.close_session(sid):
+                self.sessions_reclaimed += 1
+
     def _run(self):
         import jax
         import jax.numpy as jnp
 
         pending = None        # (out_dev, idx, batch_pieces) from tick t
         while True:
+            self._reclaim_idle()
             with self._work:
                 while not self._closed and pending is None and \
                         (self._paused or not any(
                             self._queues.get(s) for s in self._queues)):
+                    if self._stale_sids():
+                        break            # release lock; reclaim up top
                     self._work.wait(timeout=0.5)
                 closed = self._closed
                 batch_pieces: Dict[int, _Piece] = {}
                 resets: set = set()
                 if not closed and not self._paused:
+                    now = time.monotonic()
                     for slot, q in self._queues.items():
                         if q:
                             batch_pieces[slot] = q.popleft()
+                            self._last_active[slot] = now
                     resets = self._reset_slots
                     self._reset_slots = set()
             if closed:
@@ -576,6 +613,8 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
                     "image_size": engine.image_size,
                     "num_classes": engine.num_classes,
                     "ticks": engine.ticks,
+                    "session_ttl": engine.session_ttl,
+                    "sessions_reclaimed": engine.sessions_reclaimed,
                     "mesh": (dict(engine._mesh.shape)
                              if engine._mesh is not None else None),
                 })

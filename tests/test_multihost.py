@@ -27,8 +27,8 @@ _WORKER = textwrap.dedent("""
 
     import json
     import numpy as np
-    from gdkvm_tpu.parallel.distributed import maybe_initialize_distributed, \\
-        process_info
+    from gdkvm_tpu.parallel.distributed import barrier, \\
+        maybe_initialize_distributed, process_info
     from gdkvm_tpu.config.schema import load_config
     from gdkvm_tpu.data.pipeline import Batch
     from gdkvm_tpu.models.gdkvm import GDKVM
@@ -52,6 +52,11 @@ _WORKER = textwrap.dedent("""
     model = GDKVM(cfg=cfg.model)
     tx = make_optimizer(cfg)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+    # Loaded-host hardening: the Gloo context init at the FIRST cross-
+    # process op has a fixed ~30 s timeout; align ranks here so per-rank
+    # init/compile skew (which can exceed 30 s under CPU contention)
+    # never lands inside that window.
+    barrier("pre-first-collective")
     state = TrainState(
         step=jax.device_put(state.step, replicated(mesh)),
         params=jax.device_put(state.params, param_shardings(mesh,
@@ -70,9 +75,11 @@ _WORKER = textwrap.dedent("""
     )
     batch = jax.device_put(batch, batch_sharding(mesh))
     step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    barrier("pre-train-step")        # re-align after device_put staging
     with mesh:
         state, metrics = step(state, batch)
     loss = float(jax.device_get(metrics["loss"]))
+    barrier("post-train-step")       # compile skew behind us on all ranks
 
     # --- Sharded eval shard ACROSS processes (SURVEY §2.4 distributed
     # eval): each process holds only its local half of the val batch; the
@@ -97,6 +104,7 @@ _WORKER = textwrap.dedent("""
     with mesh:
         part = eval_part(state.params, val.frames, val.masks, val.valid)
     dice = float(M.dice_finalize(jax.device_get(part))["dice_fg_mean"])
+    barrier("post-eval")
 
     # --- Checkpoint save + abstract restore ACROSS processes: orbax saves
     # are collective (every process writes its addressable shards; the
@@ -130,6 +138,7 @@ _WORKER = textwrap.dedent("""
         valid=np.ones((4, 2), np.float32),
     )
     batch2 = jax.device_put(batch2, batch_sharding(mesh))
+    barrier("post-restore")
     with mesh:
         restored, metrics_r = step(restored, batch2)
     loss_r = float(jax.device_get(metrics_r["loss"]))

@@ -79,6 +79,42 @@ def test_engine_concurrent_sessions_exact(small_model, engine):
         np.testing.assert_array_equal(results[i], want)
 
 
+def test_idle_session_gc_reclaims_slot(small_model):
+    """A crashed client must not leak its slot (VERDICT r3 item 3): with
+    session_ttl set, an idle session is reclaimed by the batcher and the
+    pool regains capacity; an ACTIVE session within its TTL survives."""
+    import time as _time
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=1,
+                         chunk=CHUNK, image_size=SIZE, session_ttl=1.0)
+    try:
+        s1 = eng.open_session()
+        eng.infer(s1["session"], _video(1, t=4))
+        # Active within TTL: still alive shortly after the infer.
+        _time.sleep(0.3)
+        assert eng.slot_of(s1["session"]) is not None
+        assert eng.open_session() is None        # pool genuinely full
+        # Client "crashes" (goes silent).  After TTL the slot returns.
+        deadline = _time.monotonic() + 10.0
+        while eng.slot_of(s1["session"]) is not None:
+            assert _time.monotonic() < deadline, "GC never reclaimed slot"
+            _time.sleep(0.2)
+        assert eng.sessions_reclaimed == 1
+        s2 = eng.open_session()
+        assert s2 is not None, "reclaimed slot not reusable"
+        # The recycled slot starts from a zero state (reset-on-open).
+        video = _video(2, t=4)
+        from gdkvm_tpu.eval.streaming import stream_video
+        np.testing.assert_array_equal(
+            eng.infer(s2["session"], video),
+            stream_video(model, params, video, chunk=CHUNK))
+        # A dead session id fails cleanly.
+        with pytest.raises(KeyError):
+            eng.infer(s1["session"], video)
+    finally:
+        eng.close()
+
+
 def test_engine_state_carry_across_infer_calls(small_model, engine):
     """Two infer() calls on one session ≡ one call over the whole video
     (the server-side GDR state carries between requests)."""
@@ -376,6 +412,39 @@ def test_engine_mesh_sharded_exact_vs_stream_video(small_model):
     for sid, v in vids.items():
         want = stream_video(model, params, v, chunk=CHUNK)
         np.testing.assert_array_equal(got[sid], want)
+
+
+def test_engine_quantized_mesh_composes_exact(small_model):
+    """--quant-scales and --mesh compose (both are checkpoint-path serve
+    options, cli.py): a W8A8 model served over a data-sharded slot pool is
+    bit-identical to its own single-device stream_video."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    from gdkvm_tpu.ops import quant
+    from gdkvm_tpu.parallel.mesh import make_mesh
+
+    model, params = small_model
+    rng = np.random.default_rng(13)
+    batches = [rng.random((1, CHUNK, SIZE, SIZE, 1)).astype(np.float32)]
+    qmodel = quant.w8a8_model(
+        model, quant.calibrate_act_scales(model, params, batches))
+
+    video = _video(21, t=6)
+    eng = BatchingEngine(model=qmodel, params=params, streams=2,
+                         chunk=CHUNK, image_size=SIZE,
+                         mesh=make_mesh(data=2, model=1))
+    try:
+        sid = eng.open_session()["session"]
+        got = eng.infer(sid, video)
+    finally:
+        eng.close()
+    want = stream_video(qmodel, params, video, chunk=CHUNK)
+    np.testing.assert_array_equal(got, want)
+    # Proof the int8 path ran (not an fp-trace cache collision): the
+    # quantized logits differ from full precision on the same frames.
+    frames = jnp.asarray(video[None, :CHUNK], jnp.float32) / 255.0
+    lq, _ = jax.jit(qmodel.apply)(params, frames)
+    lf, _ = jax.jit(model.apply)(params, frames)
+    assert not np.allclose(np.asarray(lq), np.asarray(lf))
 
 
 def test_engine_mesh_with_model_axis_smoke(small_model):
