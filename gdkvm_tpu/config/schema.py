@@ -38,6 +38,9 @@ class ModelConfig:
     # field exists so saved run configs stay loadable.
     mem_stride: int = 16
     # KPFF fusion + decoder.
+    # KPFF decoder widths from stride 16 downward: 3 entries = head at
+    # stride 4 (classic), 2 entries = head at stride 8 with an 8× logits
+    # upsample — the lane-aligned TPU head (models/decoder.py docstring).
     kpff_channels: Tuple[int, ...] = (96, 64, 48)   # strides 16, 8, 4
     # Mask conditioning is done by writing the prompted frame into the
     # initial memory state (models/lkva.py prompt_write) — a TPU-first

@@ -168,26 +168,41 @@ class KPFFBlock(nn.Module):
 
 
 class Decoder(nn.Module):
-    """KPFF blocks at strides 16/8/4, then logits upsampled to input size.
+    """KPFF blocks from stride 16 down, then logits upsampled to input size.
 
     Per-frame mask logits output matches the reference API shape
     ("per-frame mask logits, memory-state carry", /root/repo/BASELINE.json).
+
+    ``channels`` sets both width and DEPTH of the pyramid: 3 entries =
+    KPFF at strides 16/8/4 (the classic head), 2 entries = stop at stride
+    8 and upsample the logits 8× instead of 4×.  The 2-scale head is the
+    lane-aligned TPU option: the r3.9 profile measured kpff4 — a
+    48-channel block on the stride-4 grid at 37.5% of the 128-lane
+    contraction axis — carrying 74% of the decoder backward; dropping to
+    stride 8 removes the worst lane-occupancy stage of the whole model
+    and rebalances that budget into wider (≥64-channel) deep stages
+    (configs/gdkvm_ts8_112.yaml; frontier table in BASELINE.md r4).
     """
-    channels: Sequence[int] = (96, 64, 48)   # at strides 16, 8, 4
+    channels: Sequence[int] = (96, 64, 48)   # from stride 16 downward
     num_classes: int = 2
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, f4: jax.Array, f8: jax.Array, f16: jax.Array,
                  readout: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-        c16, c8, c4 = self.channels
-        d16 = KPFFBlock(c16, dtype=self.dtype, name="kpff16")(f16, readout)
-        d8 = KPFFBlock(c8, dtype=self.dtype, name="kpff8")(f8, readout, d16)
-        d4 = KPFFBlock(c4, dtype=self.dtype, name="kpff4")(f4, readout, d8)
-        logits4 = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                          name="head")(d4)
-        # Predict at stride 4, bilinear-upsample logits to full resolution
-        # (matmul-form resize; at 256² the old jax.image form cost 0.37 ms
-        # vs 0.10 — a class-major variant was also A/B'd and is neutral,
-        # the resize contraction has no K-minor lane penalty).
-        return resize_bilinear(logits4.astype(jnp.float32), out_hw)
+        if not 2 <= len(self.channels) <= 3:
+            raise ValueError(
+                f"Decoder.channels needs 2 (head at stride 8) or 3 (head "
+                f"at stride 4) entries, got {tuple(self.channels)}")
+        feats = (f16, f8, f4)
+        names = ("kpff16", "kpff8", "kpff4")
+        d = None
+        for ch, feat, name in zip(self.channels, feats, names):
+            d = KPFFBlock(ch, dtype=self.dtype, name=name)(feat, readout, d)
+        logits_s = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                           name="head")(d)
+        # Predict at the last KPFF stride, bilinear-upsample logits to full
+        # resolution (matmul-form resize; at 256² the old jax.image form
+        # cost 0.37 ms vs 0.10 — a class-major variant was also A/B'd and
+        # is neutral, the resize contraction has no K-minor lane penalty).
+        return resize_bilinear(logits_s.astype(jnp.float32), out_hw)

@@ -256,3 +256,45 @@ def test_group_norm_matches_flax():
             b = np.asarray(b, np.float32)
             rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
             assert rel < (0.02 if dt == jnp.bfloat16 else 1e-5), (c, g, dt, rel)
+
+
+def test_two_scale_decoder_head():
+    """kpff_channels with 2 entries = head at stride 8 (the lane-aligned
+    TPU head, decoder.py docstring): forward shapes, streaming ≡ batched,
+    grads finite, and no kpff4 params exist."""
+    cfg = tiny_cfg(kpff_channels=(24, 16))
+    model = GDKVM(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), 64)
+    dec = params["params"]["decoder"]
+    assert "kpff16" in dec and "kpff8" in dec and "kpff4" not in dec
+
+    rng = jax.random.PRNGKey(1)
+    frames = jax.random.uniform(rng, (1, 4, 64, 64, 1))
+    full, s_full = jax.jit(model.apply)(params, frames)
+    assert full.shape == (1, 4, 64, 64, 2)
+    assert np.isfinite(np.asarray(full)).all()
+
+    apply = jax.jit(model.apply)
+    state = None
+    outs = []
+    for lo, hi in [(0, 1), (1, 4)]:
+        logits, state = apply(params, frames[:, lo:hi], state)
+        outs.append(logits)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full),
+        rtol=1e-5, atol=1e-5)
+
+    def loss(p):
+        lg, _ = model.apply(p, frames)
+        return jnp.mean(lg ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(g))
+
+
+def test_decoder_channel_length_validated():
+    cfg = tiny_cfg(kpff_channels=(24,))
+    model = GDKVM(cfg=cfg)
+    with pytest.raises(ValueError, match="2 .*or 3"):
+        init_params(model, jax.random.PRNGKey(0), 64)

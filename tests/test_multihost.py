@@ -75,11 +75,17 @@ _WORKER = textwrap.dedent("""
     )
     batch = jax.device_put(batch, batch_sharding(mesh))
     step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
-    barrier("pre-train-step")        # re-align after device_put staging
+    # AOT-compile BEFORE the barrier: compilation is rank-local (any skew
+    # is harmless), then the barrier aligns ranks so the EXECUTION's Gloo
+    # collectives start within milliseconds of each other — under CPU
+    # contention, per-rank compile skew alone can exceed Gloo's fixed
+    # ~30 s context-init window.
     with mesh:
-        state, metrics = step(state, batch)
+        step_exe = step.lower(state, batch).compile()
+    barrier("step-compiled")
+    with mesh:
+        state, metrics = step_exe(state, batch)
     loss = float(jax.device_get(metrics["loss"]))
-    barrier("post-train-step")       # compile skew behind us on all ranks
 
     # --- Sharded eval shard ACROSS processes (SURVEY §2.4 distributed
     # eval): each process holds only its local half of the val batch; the
@@ -102,7 +108,11 @@ _WORKER = textwrap.dedent("""
     )
     val = jax.device_put(val, batch_sharding(mesh))
     with mesh:
-        part = eval_part(state.params, val.frames, val.masks, val.valid)
+        eval_exe = eval_part.lower(state.params, val.frames, val.masks,
+                                   val.valid).compile()
+    barrier("eval-compiled")
+    with mesh:
+        part = eval_exe(state.params, val.frames, val.masks, val.valid)
     dice = float(M.dice_finalize(jax.device_get(part))["dice_fg_mean"])
     barrier("post-eval")
 
@@ -140,7 +150,7 @@ _WORKER = textwrap.dedent("""
     batch2 = jax.device_put(batch2, batch_sharding(mesh))
     barrier("post-restore")
     with mesh:
-        restored, metrics_r = step(restored, batch2)
+        restored, metrics_r = step_exe(restored, batch2)
     loss_r = float(jax.device_get(metrics_r["loss"]))
     mgr.close()
 
