@@ -231,6 +231,8 @@ def _serve_bench_section(smoke: bool):
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
+        host = _host_stack_profile(engine, srv.server_address[1], chunk,
+                                   size, smoke)
     finally:
         srv.shutdown()
         engine.close()
@@ -240,7 +242,64 @@ def _serve_bench_section(smoke: bool):
     return {"frames_per_sec": streams * frames / wall,
             "sessions": streams, "chunk": chunk, "image_size": size,
             "request_latency_ms_p50": float(np.percentile(ms, 50)),
-            "request_latency_ms_p99": float(np.percentile(ms, 99))}
+            "request_latency_ms_p99": float(np.percentile(ms, 99)),
+            "host_profile": host}
+
+
+def _host_stack_profile(engine, port: int, chunk: int, size: int,
+                        smoke: bool):
+    """Attribute the serve path's per-request cost to its host layers
+    (VERDICT r3 item 4): npy codec, bare HTTP round trip, and the device
+    tick (dispatch+fetch of one engine step) — so "the host stack is the
+    bound" is a measured claim with a named next lever, not a guess."""
+    import numpy as np
+    from gdkvm_tpu.serve import ServeClient, _np_bytes, _np_from_bytes
+
+    reps = 5 if smoke else 50
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 255, (chunk, size, size, 1), np.uint8)
+    masks = rng.integers(0, 2, (chunk, size, size)).astype(np.uint8)
+
+    # 1. npy codec, both directions (request decode + response encode).
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        blob = _np_bytes(video)
+        _np_from_bytes(blob)
+        _np_from_bytes(_np_bytes(masks))
+    codec_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    # 2. Bare HTTP round trip (threading server + keep-alive client, no
+    #    inference): GET /healthz.
+    c = ServeClient("127.0.0.1", port)
+    c.health()                                   # warm the connection
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c.health()
+    http_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    # 3. Device tick: one engine step (dispatch + post + fetch), measured
+    #    through the same jitted callables the batcher thread uses.
+    jnp = engine._jnp
+    flags = jnp.asarray(np.zeros((2, engine.streams), np.float32))
+    fb = engine._frames_arg({})
+    mem, seen = engine._mem, engine._seen
+
+    def tick():
+        m, mem2, seen2 = engine._step(fb, mem, seen, flags)
+        out = engine._post_fn(engine.streams)(
+            m, jnp.arange(engine.streams, dtype=jnp.int32))
+        np.asarray(engine._jax.device_get(out))
+        return mem2, seen2
+
+    mem, seen = tick()                           # warm (donation rebind)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        mem, seen = tick()
+    tick_ms = (time.perf_counter() - t0) / reps * 1e3
+    engine._mem, engine._seen = mem, seen
+
+    return {"npy_codec_ms": codec_ms, "http_roundtrip_ms": http_ms,
+            "device_tick_ms": tick_ms, "reps": reps}
 
 
 def bench_all(smoke: bool = False, reps: Optional[int] = None,

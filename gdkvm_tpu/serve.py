@@ -584,6 +584,12 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # TCP_NODELAY: the handler writes status/headers/body as separate
+        # small sends; with Nagle on, the tail send waits for the client's
+        # delayed ACK — a measured ~40 ms floor PER REQUEST on loopback
+        # (BASELINE.md r4 host-stack profile: bare /healthz 43.4 → 0.4 ms
+        # with this + the client-side setting).
+        disable_nagle_algorithm = True
 
         def log_message(self, *args):          # quiet by default
             pass
@@ -683,9 +689,17 @@ class ServeClient:
 
     def _conn(self):
         import http.client
+        import socket as _socket
         if self._c is None:
             self._c = http.client.HTTPConnection(self.host, self.port,
                                                  timeout=self.timeout)
+            # TCP_NODELAY on the client side too: http.client leaves
+            # Nagle on, and request-line + headers + body go out as
+            # separate sends — each handoff can stall on the peer's
+            # delayed ACK (see Handler.disable_nagle_algorithm).
+            self._c.connect()
+            self._c.sock.setsockopt(_socket.IPPROTO_TCP,
+                                    _socket.TCP_NODELAY, 1)
         return self._c
 
     def _drop_conn(self):
