@@ -548,7 +548,7 @@ def _gdr_kernel(save_states: bool, save_uw: bool, alpha_ref, q_ref, k_ref,
         s_scr[:] = s0_ref[0].astype(_F32)
 
     if states_ref is not None:
-        states_ref[0, :, 0] = s_scr[:]       # S_{t-1}, pre-decay
+        states_ref[0, :, 0] = s_scr[:].astype(states_ref.dtype)
 
     h = q_ref.shape[1]
     q = q_ref[0, :, 0].astype(_F32)         # (H, N, dk)
@@ -564,8 +564,8 @@ def _gdr_kernel(save_states: bool, save_uw: bool, alpha_ref, q_ref, k_ref,
     s_new, o, u, w, invs = _frame_math(s_scr[:], q, k, vb, ke)
     o_ref[0, :, 0] = o.astype(o_ref.dtype)
     if u_ref is not None:
-        u_ref[0, :, 0] = u                  # fp32 WY solve, per frame
-        w_ref[0, :, 0] = w
+        u_ref[0, :, 0] = u.astype(u_ref.dtype)   # WY solve, per frame
+        w_ref[0, :, 0] = w.astype(w_ref.dtype)
         # Diagonal-block inverses, lane-packed (H, bs, N): column
         # n = i·bs + c holds inv_block_i[:, :, c] — minor dim N keeps
         # the DMA full-lane (a (..., 16)-minor output would tile to 128
@@ -574,7 +574,7 @@ def _gdr_kernel(save_states: bool, save_uw: bool, alpha_ref, q_ref, k_ref,
         # into lanes is an unsupported shape cast).
         nb = invs.shape[0]
         inv_ref[0, :, 0] = jnp.concatenate([invs[i] for i in range(nb)],
-                                           axis=-1)
+                                           axis=-1).astype(inv_ref.dtype)
     s_scr[:] = s_new
 
     @pl.when(t == n_t - 1)
@@ -619,7 +619,7 @@ def _gdr_chain_kernel(save_states: bool, alpha_ref, q_ref, k_ref, u_ref,
         s_scr[:] = s0_ref[0].astype(_F32)
 
     if states_ref is not None:
-        states_ref[0, :, 0] = s_scr[:]       # S_{t-1}, pre-decay
+        states_ref[0, :, 0] = s_scr[:].astype(states_ref.dtype)
 
     h = q_ref.shape[1]
     q = q_ref[0, :, 0].astype(_F32)          # (H, N, dk)
@@ -779,6 +779,25 @@ def _gdr_bwd_kernel(alpha_ref, q_ref, k_ref, v_ref, beta_ref, eta_ref,
         ds0_ref[0] = ds_scr[:]
 
 
+def _save_dtype():
+    """Storage dtype for the stored backward's streamed residuals
+    (S_{t-1} checkpoints, WY solves [U|W], packed inverses).
+
+    GDKVM_GDR_SAVE_DTYPE=bf16 halves their HBM traffic in BOTH directions
+    (forward write + backward read) — the r4 experiment on the r3.4
+    finding that the stored backward sits within 2× of its DMA floor.
+    Read at trace time (like GDKVM_GDR_BWD).  Default fp32: the stored
+    path's headline accuracy win over chunked AD (r2.5: 170× at N=256)
+    rides exact residuals; bf16 residuals trade ~half the 2e-5 margin for
+    bandwidth — see BASELINE.md r4 for the measured time/accuracy A/B.
+    """
+    val = os.environ.get("GDKVM_GDR_SAVE_DTYPE", "f32")
+    if val not in ("f32", "bf16"):
+        raise ValueError(
+            f"GDKVM_GDR_SAVE_DTYPE must be f32|bf16, got {val!r}")
+    return jnp.bfloat16 if val == "bf16" else _F32
+
+
 def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
                      ke: jax.Array, alpha: jax.Array,
                      s0: jax.Array, interpret: bool, save_states: bool,
@@ -794,6 +813,7 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
     """
     b, h, t, n, dk = q.shape
     dv = vb.shape[-1]
+    sdt = _save_dtype() if save_uw else _F32
 
     blk = lambda d: pl.BlockSpec((1, h, 1, n, d),
                                  lambda g, i, *_: (g, 0, i, 0, 0))
@@ -806,14 +826,14 @@ def _gdr_pallas_flat(q: jax.Array, k: jax.Array, vb: jax.Array,
         pl.BlockSpec((1, h, dk, dv), lambda g, i, *_: (g, 0, 0, 0)),
     ]
     if save_states:
-        out_shape.append(jax.ShapeDtypeStruct((b, h, t, dk, dv), _F32))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, t, dk, dv), sdt))
         out_specs.append(
             pl.BlockSpec((1, h, 1, dk, dv), lambda g, i, *_: (g, 0, i, 0, 0)))
     if save_uw:
         bs = min(16, n)
-        out_shape += [jax.ShapeDtypeStruct((b, h, t, n, dv), _F32),
-                      jax.ShapeDtypeStruct((b, h, t, n, dk), _F32),
-                      jax.ShapeDtypeStruct((b, h, t, bs, n), _F32)]
+        out_shape += [jax.ShapeDtypeStruct((b, h, t, n, dv), sdt),
+                      jax.ShapeDtypeStruct((b, h, t, n, dk), sdt),
+                      jax.ShapeDtypeStruct((b, h, t, bs, n), sdt)]
         out_specs += [blk(dv), blk(dk),
                       pl.BlockSpec((1, h, 1, bs, n),
                                    lambda g, i, *_: (g, 0, i, 0, 0))]
@@ -1151,6 +1171,12 @@ def _bwd_stored(residuals, cotangents):
     b, h, t, n, dk = q.shape
     dv = v.shape[-1]
     n_pad = u.shape[-2]
+    # bf16-streamed residuals (GDKVM_GDR_SAVE_DTYPE) upcast once here; the
+    # adjoint math itself always runs fp32.
+    states = states.astype(_F32)
+    u, w = u.astype(_F32), w.astype(_F32)
+    if inv_packed is not None:
+        inv_packed = inv_packed.astype(_F32)
     qf, kf, vf, bf, ef, af = _flat_inputs(q, k, v, beta, eta, alpha)
     dof = _pad_tokens(do.astype(_F32), n_pad)
     q32, k32, v32 = (x.astype(_F32) for x in (qf, kf, vf))

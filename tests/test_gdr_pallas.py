@@ -399,3 +399,34 @@ def test_autotune_group_cache_and_fallback(tmp_path, monkeypatch):
     want = gdr_pallas._group_plan(8, ps, allow_raise=True)
     got = gdr_pallas._autotune_group("mono", 8, 4, 256, 64, 64, ps)
     assert got[0] == want[0]
+
+
+def test_stored_bwd_bf16_residuals(monkeypatch):
+    """GDKVM_GDR_SAVE_DTYPE=bf16 streams the stored backward's residuals
+    (S checkpoints, [U|W], packed inverses) in bf16 — half the DMA.  The
+    adjoint math stays fp32, so grads must remain close to the scan
+    reference (looser than the exact-f32 path, but well inside training
+    noise)."""
+    monkeypatch.setenv("GDKVM_GDR_BWD", "stored")
+    monkeypatch.setenv("GDKVM_GDR_SAVE_DTYPE", "bf16")
+    args = _rand_bh(jax.random.PRNGKey(9), B=1, H=2, T=3, N=17, dk=16,
+                    dv=16)
+
+    def loss_pl(*a):
+        o, s = gdr_pallas.gdr_pallas_bh(*a)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    def loss_ref(*a):
+        o, s = gdr.gdr_ref_bh(*a)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_pl, g_ref):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+        assert np.isfinite(a).all() and rel < 3e-2, rel
+
+    monkeypatch.setenv("GDKVM_GDR_SAVE_DTYPE", "nope")
+    with pytest.raises(ValueError, match="SAVE_DTYPE"):
+        gdr_pallas._save_dtype()
