@@ -240,9 +240,22 @@ class BatchingEngine:
 
     # -- device-side mask postprocess ---------------------------------------
 
+    def _post_bucket(self, n_active: int) -> int:
+        """Gather size for n_active slots: next power of two (capped at
+        the pool size).  Why buckets: a per-count trace meant a NEW jit
+        compile whenever the active-session count first hit a value —
+        measured 1-10 s stalls mid-traffic through the remote-compile
+        tunnel (BASELINE.md r4 serve-bench p99).  Buckets cost ≤2×
+        transfer bytes on odd counts and cap the trace set at
+        log2(S)+1, all pre-compiled by the constructor warmup."""
+        b = 1
+        while b < n_active:
+            b *= 2
+        return min(b, self.streams)
+
     def _post_fn(self, n_active: int):
-        """Jitted gather-active + bit-pack, cached per active count (≤S
-        distinct traces).  Output bytes ∝ active work, not pool size."""
+        """Jitted gather-active + bit-pack, cached per bucket size.
+        Output bytes ∝ active work (within 2×), not pool size."""
         fn = self._post_cache.get(n_active)
         if fn is None:
             jnp = self._jnp
@@ -317,9 +330,14 @@ class BatchingEngine:
         zeros = jnp.zeros((2, self.streams), jnp.float32)
         masks, self._mem, self._seen = self._step(
             fb, self._mem, self._seen, zeros)
-        idx = jnp.arange(self.streams, dtype=jnp.int32)
-        out = self._post_fn(self.streams)(masks, idx)
-        jax.device_get(out)                          # force execution
+        # Pre-compile EVERY post bucket: the active-session count changes
+        # as clients come and go, and a first-hit compile mid-traffic
+        # costs seconds through a remote-compile tunnel.
+        for nb in sorted({self._post_bucket(n)
+                          for n in range(1, self.streams + 1)}):
+            out = self._post_fn(nb)(
+                masks, jnp.zeros((nb,), dtype=jnp.int32))
+            jax.device_get(out)                      # force execution
 
     # -- session management -------------------------------------------------
 
@@ -539,8 +557,10 @@ class BatchingEngine:
                         self._seen, jnp.asarray(flags))
                     if batch_pieces:
                         idx = sorted(batch_pieces)
-                        out = self._post_fn(len(idx))(
-                            masks, jnp.asarray(idx, dtype=jnp.int32))
+                        nb = self._post_bucket(len(idx))
+                        idx_pad = idx + [idx[-1]] * (nb - len(idx))
+                        out = self._post_fn(nb)(
+                            masks, jnp.asarray(idx_pad, dtype=jnp.int32))
                         try:                  # start the D2H copy early
                             out.copy_to_host_async()
                         except AttributeError:
