@@ -199,10 +199,25 @@ class Decoder(nn.Module):
         d = None
         for ch, feat, name in zip(self.channels, feats, names):
             d = KPFFBlock(ch, dtype=self.dtype, name=name)(feat, readout, d)
-        logits_s = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                           name="head")(d)
-        # Predict at the last KPFF stride, bilinear-upsample logits to full
-        # resolution (matmul-form resize; at 256² the old jax.image form
-        # cost 0.37 ms vs 0.10 — a class-major variant was also A/B'd and
-        # is neutral, the resize contraction has no K-minor lane penalty).
+        if len(self.channels) == 2:
+            # Sub-pixel head for the stride-8 pyramid: predict K·4
+            # channels at stride 8 and depth-to-space them to stride-4
+            # logits — the MXU-friendly way to recover fine boundary
+            # detail without a stride-4 feature stage (the head conv gets
+            # 4× wider = fuller lanes; a thin-structure Dice gap at the
+            # plain 8× upsample motivated this, BASELINE.md r4.4).
+            p = 2
+            hs = nn.Conv(self.num_classes * p * p, (1, 1),
+                         dtype=self.dtype, name="head")(d)
+            b, hh, ww, _ = hs.shape
+            hs = hs.reshape(b, hh, ww, p, p, self.num_classes)
+            logits_s = hs.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hh * p, ww * p, self.num_classes)
+        else:
+            logits_s = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                               name="head")(d)
+        # Predict at stride 4, bilinear-upsample logits to full resolution
+        # (matmul-form resize; at 256² the old jax.image form cost 0.37 ms
+        # vs 0.10 — a class-major variant was also A/B'd and is neutral,
+        # the resize contraction has no K-minor lane penalty).
         return resize_bilinear(logits_s.astype(jnp.float32), out_hw)
