@@ -18,10 +18,14 @@ Design — no model-code duplication, no param-tree change:
 - Activation scales are STATIC floats (trace-time constants) calibrated
   offline by observing abs-max or a high percentile of |x| over
   calibration batches — one number per conv path (per-tensor symmetric).
-  Percentile mode (``method="percentile"``) is the outlier-robust choice
-  for real ultrasound: a single hot speckle pixel in a calibration clip
-  collapses the abs-max int8 range, while the 99.9th percentile of |x|
-  ignores it (tests/test_quant.py::test_percentile_calibration_robust).
+  Percentile mode (``method="percentile"``) is the outlier-robust option
+  for UNSCREENED calibration data: a single hot speckle pixel collapses
+  the abs-max int8 range (mask agreement 0.98 → 0.73 in
+  tests/test_quant.py::test_percentile_calibration_robust) while the
+  99.9th percentile of |x| ignores it.  On clean calibration clips
+  abs-max is the better default — the trained model's activation
+  extremes are real signal, and clipping them cost −0.0033 fg Dice vs
+  abs-max's −0.0002 on the full-recipe flagship (BASELINE.md r4.5).
 - ``QuantGDKVM`` is the user-facing handle: a ``GDKVM`` subclass carrying
   the scale table; its ``cfg.quant`` tag ensures the shared jitted-apply
   caches (eval/streaming.py, serve.py) key quantized and full-precision
