@@ -175,8 +175,14 @@ def _quant_section(smoke: bool, reps: int):
         return fn
 
     floor = _floor_ms(reps)
-    bf16 = _timed(fwd(model), (frames,), reps) - floor
-    w8a8 = _timed(fwd(qmodel), (frames,), reps) - floor
+    # Interleaved best-of-2: the dev tunnel's pace can shift mid-section
+    # (a first artifact recorded w8a8 2.5× slow because its single
+    # measurement landed in a degraded window); min-of-interleaved pairs
+    # keeps the A/B within one window.
+    bf16 = min(_timed(fwd(model), (frames,), reps) for _ in range(2)) \
+        - floor
+    w8a8 = min(_timed(fwd(qmodel), (frames,), reps) for _ in range(2)) \
+        - floor
     return {"fwd_ms_bf16": bf16, "fwd_ms_w8a8": w8a8,
             "speedup": bf16 / w8a8 if w8a8 > 0 else float("nan"),
             "image_size": size, "chunk": chunk, "batch": batch,
