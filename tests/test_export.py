@@ -113,3 +113,31 @@ def test_export_quantized_model_roundtrip(tmp_path):
     fp_logits, _ = model.apply(
         params, jnp.asarray(frames, jnp.float32) / 255.0)
     assert not np.allclose(np.asarray(logits), np.asarray(fp_logits))
+
+
+def test_export_two_scale_decoder_roundtrip(tmp_path):
+    """The lane-aligned 2-scale decoder (stride-8 sub-pixel head,
+    BASELINE r4.4) exports and serves exactly like the in-process model —
+    the depth-to-space head must survive StableHLO lowering."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    from gdkvm_tpu.serve import BatchingEngine
+
+    cfg = ModelConfig(in_channels=1, num_classes=3,
+                      enc_channels=(8, 16, 24, 32), enc_blocks=(1, 1, 1, 1),
+                      num_heads=2, head_dim_k=16, head_dim_v=16,
+                      kpff_channels=(24, 16), compute_dtype="float32")
+    model = GDKVM(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=32)
+    art = str(tmp_path / "art")
+    save_artifact(art, model, params, image_size=32, chunk=3, batch=1)
+
+    video = np.random.default_rng(1).integers(
+        0, 255, (6, 32, 32, 1), np.uint8)
+    eng = BatchingEngine(artifact=art, streams=1, chunk=3)
+    try:
+        sid = eng.open_session()["session"]
+        got = eng.infer(sid, video)
+    finally:
+        eng.close()
+    want = stream_video(model, params, video, chunk=3)
+    np.testing.assert_array_equal(got, want)
