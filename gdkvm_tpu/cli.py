@@ -97,12 +97,34 @@ def cmd_bench(argv) -> int:
     args = p.parse_args(flags)
 
     if args.mode == "all":
-        from gdkvm_tpu.eval.regression import bench_all, validate_artifact, \
-            write_artifact
+        # --mode all measures FIXED canonical shapes (that is the point of
+        # a regression artifact); silently ignoring shape/config overrides
+        # would let automation believe it benchmarked something it didn't.
+        unused = [flag for flag, passed in (
+            ("--config", args.config is not None),
+            ("--chunk", args.chunk != 16), ("--batch", args.batch != 1),
+            ("--image-size", args.image_size != 112),
+            ("--grad", args.grad)) if passed]
+        if overrides:
+            unused.append("dotted config overrides")
+        if unused:
+            p.error(f"--mode all ignores {', '.join(unused)}: the "
+                    f"artifact's shapes are fixed by the schema "
+                    f"(eval/regression.py)")
+        from gdkvm_tpu.eval.regression import bench_all, failed_sections, \
+            validate_artifact, write_artifact
         artifact = bench_all(smoke=args.smoke)
         validate_artifact(artifact)
         write_artifact(artifact, args.out)
         print(json.dumps(artifact))
+        failed = failed_sections(artifact)
+        if failed and not args.smoke:
+            # Fault isolation keeps one broken section from killing the
+            # artifact, but a bench where sections ERRORED must not read
+            # as success to automation (exit code is the contract).
+            print(f"bench --mode all: {len(failed)} section(s) errored: "
+                  f"{', '.join(failed)}", file=sys.stderr)
+            return 1
         return 0
 
     cfg = load_config(args.config, overrides)

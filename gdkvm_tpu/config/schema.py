@@ -116,6 +116,14 @@ class TrainConfig:
     grad_clip: float = 1.0
     ce_weight: float = 1.0
     dice_weight: float = 1.0
+    # Bootstrapped (top-k hard-pixel) CE — the memory-VOS lineage default
+    # (train/losses.py).  ratio < 1 enables it: per valid frame only the
+    # hardest ratio·H·W pixels carry CE, annealed in by a λ ramp from
+    # start_frac·N to end_frac·N iterations (static k, one compile).
+    # 1.0 (default) = plain CE, trace-identical to pre-r5 recipes.
+    bootstrap_ratio: float = 1.0
+    bootstrap_start: float = 0.2       # fraction of num_iterations
+    bootstrap_end: float = 0.6
     seed: int = 0
     log_every: int = 50
     eval_every: int = 500

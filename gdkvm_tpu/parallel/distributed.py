@@ -66,8 +66,22 @@ def barrier(name: str, timeout_ms: int = 600_000) -> None:
     the 30 s window to cover only the actual handshake.  No-op when
     jax.distributed is not initialized (single-process runs).
     """
-    from jax._src import distributed as _dist
-    client = getattr(_dist.global_state, "client", None)
+    try:
+        # jax._src.distributed is a private surface (stable on the pinned
+        # jax, unversioned upstream).  If an upgrade moves it, degrade to
+        # a loud no-op rather than crashing every rendezvous — the barrier
+        # is a HARDENING layer (compile-skew margin), not a correctness
+        # requirement: collectives still rendezvous on their own.
+        from jax._src import distributed as _dist
+        client = getattr(_dist.global_state, "client", None)
+    except Exception:  # pragma: no cover - depends on jax version
+        import warnings
+        warnings.warn(
+            "jax coordination-service client unavailable on this jax "
+            "version; gdkvm barrier() is a no-op (cross-process compile "
+            "skew is no longer absorbed — see parallel/distributed.py)",
+            RuntimeWarning, stacklevel=2)
+        return
     if client is None:
         return
     client.wait_at_barrier(name, timeout_ms)

@@ -83,7 +83,8 @@ class EngineOverloaded(RuntimeError):
 class _Piece:
     """One chunk-sized unit of work for a slot."""
 
-    __slots__ = ("frames_dev", "done", "masks", "error", "nbytes")
+    __slots__ = ("frames_dev", "done", "masks", "error", "nbytes",
+                 "t_enq", "t_disp", "depth")
 
     def __init__(self, frames_dev, nbytes: int):
         self.frames_dev = frames_dev
@@ -91,6 +92,12 @@ class _Piece:
         self.done = threading.Event()
         self.masks: Optional[np.ndarray] = None
         self.error: Optional[Exception] = None
+        # Queue-wait vs service attribution (VERDICT r4 item 4): enqueue
+        # time, dispatch time, and queue depth at enqueue let serve-bench
+        # decompose tail latency into waiting vs device work.
+        self.t_enq: Optional[float] = None
+        self.t_disp: Optional[float] = None
+        self.depth: int = 0
 
 
 class BatchingEngine:
@@ -223,6 +230,10 @@ class BatchingEngine:
         self.session_ttl = session_ttl
         self._last_active: Dict[int, float] = {}  # slot → monotonic time
         self.sessions_reclaimed = 0
+        # Per-piece queue-wait / service / depth samples (bounded; drained
+        # by serve-bench to attribute tail latency — wait is offered-load
+        # queueing, service is device tick + fetch).
+        self._stats: deque = deque(maxlen=8192)
         self._reset_slots: set = set()
         self._closed = False
         self._paused = False
@@ -412,11 +423,26 @@ class BatchingEngine:
             np.ascontiguousarray(video_u8)))))
 
     def _finish(self, piece: _Piece, masks=None, error=None):
+        now = time.monotonic()
         with self._lock:
             self._inflight_bytes -= piece.nbytes
+            if piece.t_enq is not None and piece.t_disp is not None \
+                    and error is None:
+                self._stats.append(
+                    ((piece.t_disp - piece.t_enq) * 1e3,   # queue wait ms
+                     (now - piece.t_disp) * 1e3,           # service ms
+                     piece.depth))
         piece.masks = masks
         piece.error = error
         piece.done.set()
+
+    def drain_stats(self):
+        """Return and clear the per-piece (wait_ms, service_ms,
+        depth_at_enqueue) samples collected since the last drain."""
+        with self._lock:
+            out = list(self._stats)
+            self._stats.clear()
+        return out
 
     def infer(self, sid: str, video_u8: np.ndarray) -> np.ndarray:
         """Blocking: segment (T,H,W[,1]) u8, threading the session state.
@@ -464,11 +490,23 @@ class BatchingEngine:
         piece_bytes = video_u8.nbytes // n_pieces
         pieces = [_Piece(d, piece_bytes) for d in devs]
         with self._work:
+            # Re-validate SESSION identity, not just slot liveness: staging
+            # above (device resize + split jit) can take seconds, during
+            # which idle-session GC may reclaim this session and
+            # open_session() may recycle the slot to a NEW client — a
+            # slot-only check would then interleave two clients' frames
+            # into one GDR state.
+            if self._sessions.get(sid) != slot:
+                raise KeyError(f"session {sid!r} closed")
             q = self._queues.get(slot)
             if q is None:
                 raise KeyError(f"session {sid!r} closed")
             q.extend(pieces)
-            self._last_active[slot] = time.monotonic()
+            now = time.monotonic()
+            for i, p in enumerate(pieces):
+                p.t_enq = now
+                p.depth = len(q) - len(pieces) + i  # pieces ahead of it
+            self._last_active[slot] = now
             self._inflight_bytes += sum(p.nbytes for p in pieces)
             self._work.notify()
         outs = []
@@ -505,6 +543,29 @@ class BatchingEngine:
                 if not self._queues.get(slot)
                 and now - self._last_active.get(slot, now) > ttl]
 
+    def _close_if_stale(self, sid: str) -> bool:
+        """Atomically re-check staleness and close (GC path only).
+
+        close_session() decides nothing; calling it from a stale list
+        computed in an EARLIER lock scope would fail a request that landed
+        in between with 'closed with work pending' even though the session
+        just became active again at the TTL boundary — so the re-check and
+        the pop happen under one lock acquisition here."""
+        ttl = self.session_ttl
+        with self._lock:
+            slot = self._sessions.get(sid)
+            if slot is None:
+                return False
+            now = time.monotonic()
+            if (self._queues.get(slot) or not ttl
+                    or now - self._last_active.get(slot, now) <= ttl):
+                return False            # became active again — keep it
+            self._sessions.pop(sid)
+            self._queues.pop(slot, None)
+            self._last_active.pop(slot, None)
+            self._free.append(slot)
+        return True
+
     def _reclaim_idle(self) -> None:
         """Idle-session GC (batcher thread): reclaim slots whose client
         went away — open_session capacity must not shrink permanently
@@ -512,7 +573,7 @@ class BatchingEngine:
         with self._lock:
             stale = self._stale_sids()
         for sid in stale:
-            if self.close_session(sid):
+            if self._close_if_stale(sid):
                 self.sessions_reclaimed += 1
 
     def _run(self):
@@ -536,7 +597,9 @@ class BatchingEngine:
                     now = time.monotonic()
                     for slot, q in self._queues.items():
                         if q:
-                            batch_pieces[slot] = q.popleft()
+                            piece = q.popleft()
+                            piece.t_disp = now
+                            batch_pieces[slot] = piece
                             self._last_active[slot] = now
                     resets = self._reset_slots
                     self._reset_slots = set()
@@ -711,15 +774,23 @@ class ServeClient:
         import http.client
         import socket as _socket
         if self._c is None:
-            self._c = http.client.HTTPConnection(self.host, self.port,
-                                                 timeout=self.timeout)
+            c = http.client.HTTPConnection(self.host, self.port,
+                                           timeout=self.timeout)
             # TCP_NODELAY on the client side too: http.client leaves
             # Nagle on, and request-line + headers + body go out as
             # separate sends — each handoff can stall on the peer's
             # delayed ACK (see Handler.disable_nagle_algorithm).
-            self._c.connect()
-            self._c.sock.setsockopt(_socket.IPPROTO_TCP,
-                                    _socket.TCP_NODELAY, 1)
+            # self._c is assigned only AFTER connect + setsockopt succeed:
+            # a half-connected object left behind would auto-connect on the
+            # next request WITHOUT TCP_NODELAY (and without cleanup).
+            try:
+                c.connect()
+                c.sock.setsockopt(_socket.IPPROTO_TCP,
+                                  _socket.TCP_NODELAY, 1)
+            except Exception:
+                c.close()
+                raise
+            self._c = c
         return self._c
 
     def _drop_conn(self):
@@ -739,8 +810,11 @@ class ServeClient:
         attempts = (self.retries + 1) if retry else 1
         last: Optional[Exception] = None
         for _ in range(attempts):
-            c = self._conn()
             try:
+                # Connect INSIDE the retried block: a transient
+                # ConnectionError during the TCP handshake deserves the
+                # same retry policy as one during the request itself.
+                c = self._conn()
                 c.request(method, path, body=body)
                 r = c.getresponse()
                 data = r.read()

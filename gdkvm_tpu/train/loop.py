@@ -145,11 +145,17 @@ def make_train_step(model: GDKVM, tx: optax.GradientTransformation,
         prompt_w = use_prompt * batch.valid[:, 0]
         prompt_mask = batch.masks[:, 0].astype(jnp.int32)
 
+        bweight = 1.0 if t.bootstrap_ratio >= 1.0 else \
+            losses.bootstrap_schedule(state.step, t.num_iterations,
+                                      t.bootstrap_start, t.bootstrap_end)
+
         def loss_fn(params):
             logits, _ = fwd(params, frames, prompt_mask, prompt_w)
             loss, aux = losses.segmentation_loss(
                 logits, batch.masks.astype(jnp.int32), batch.valid,
-                ce_weight=t.ce_weight, dice_weight=t.dice_weight)
+                ce_weight=t.ce_weight, dice_weight=t.dice_weight,
+                bootstrap_ratio=t.bootstrap_ratio,
+                bootstrap_weight=bweight)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

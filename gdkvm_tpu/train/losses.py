@@ -35,9 +35,21 @@ def _onehot_cm(labels: jax.Array, k: int, dtype) -> jax.Array:
 
 
 def _ce_dice_terms(logits: jax.Array, labels: jax.Array, valid: jax.Array,
-                   eps: float) -> Tuple[jax.Array, jax.Array]:
+                   eps: float, bootstrap_ratio: float = 1.0,
+                   bootstrap_weight=1.0) -> Tuple[jax.Array, jax.Array]:
     """Shared class-major CE + soft-Dice computation (one transpose, one
-    log_softmax feeding both terms)."""
+    log_softmax feeding both terms).
+
+    ``bootstrap_ratio`` < 1 enables bootstrapped (top-k hard-pixel) CE —
+    the memory-VOS lineage default this module's header names (the
+    reference documents no loss, /root/reference/README.md:20; SURVEY
+    §2.2 Loss row): per valid frame, only the hardest ratio·H·W pixels
+    contribute to CE.  k is static (jit-stable single trace); annealing
+    therefore happens by BLENDING mean-CE with top-k CE via the traced
+    scalar ``bootstrap_weight`` λ ∈ [0,1] (0 = all pixels early in
+    training, 1 = hard pixels only late) — the standard warm-up schedule
+    without dynamic shapes or mid-run recompiles.
+    """
     lg = _class_major(logits)
     k = lg.shape[2]
     logp = jax.nn.log_softmax(lg, axis=2)
@@ -47,6 +59,15 @@ def _ce_dice_terms(logits: jax.Array, labels: jax.Array, valid: jax.Array,
     ll = jnp.sum(logp * onehot, axis=2)                # (B,T,H,W)
     per_frame = -jnp.mean(ll, axis=(2, 3))             # (B,T)
     ce = jnp.sum(per_frame * valid) / denom
+    if bootstrap_ratio < 1.0:
+        b, t, h, w = ll.shape
+        topk = max(1, int(round(bootstrap_ratio * h * w)))
+        pix_ce = (-ll).reshape(b, t, h * w)
+        hard = jax.lax.top_k(pix_ce, topk)[0]          # (B,T,topk)
+        per_frame_hard = hard.mean(axis=-1)            # (B,T)
+        ce_hard = jnp.sum(per_frame_hard * valid) / denom
+        lam = jnp.asarray(bootstrap_weight, ce.dtype)
+        ce = (1.0 - lam) * ce + lam * ce_hard
 
     probs = jnp.exp(logp)
     inter = jnp.sum(probs * onehot, axis=(3, 4))       # (B,T,K)
@@ -73,11 +94,30 @@ def soft_dice(logits: jax.Array, labels: jax.Array, valid: jax.Array,
     return _ce_dice_terms(logits, labels, valid, eps=eps)[1]
 
 
+def bootstrap_schedule(step, num_iterations: int, start_frac: float,
+                       end_frac: float):
+    """Annealing weight λ(step) for bootstrapped CE: 0 before
+    start_frac·N iterations (all pixels — the model first needs easy
+    gradient everywhere), linear ramp to 1 by end_frac·N (hard pixels
+    only).  Traced scalar: one compile for the whole run."""
+    s = float(num_iterations) * start_frac
+    e = float(num_iterations) * end_frac
+    span = max(e - s, 1.0)
+    return jnp.clip((jnp.asarray(step, jnp.float32) - s) / span, 0.0, 1.0)
+
+
 def segmentation_loss(logits: jax.Array, labels: jax.Array,
                       valid: jax.Array, ce_weight: float = 1.0,
-                      dice_weight: float = 1.0
+                      dice_weight: float = 1.0,
+                      bootstrap_ratio: float = 1.0,
+                      bootstrap_weight=1.0
                       ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """CE + soft Dice, sharing one transpose/softmax between the terms."""
-    ce, dl = _ce_dice_terms(logits, labels, valid, eps=1.0)
+    """CE + soft Dice, sharing one transpose/softmax between the terms.
+
+    ``bootstrap_ratio`` < 1 turns the CE term into annealed bootstrapped
+    (top-k hard-pixel) CE — see _ce_dice_terms."""
+    ce, dl = _ce_dice_terms(logits, labels, valid, eps=1.0,
+                            bootstrap_ratio=bootstrap_ratio,
+                            bootstrap_weight=bootstrap_weight)
     loss = ce_weight * ce + dice_weight * dl
     return loss, {"loss": loss, "ce": ce, "dice_loss": dl}

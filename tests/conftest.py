@@ -75,6 +75,9 @@ _SLOW_TESTS = frozenset({
     "test_long_sequence_streaming_stable",
     # test_sharding.py
     "test_data_parallel_train_step", "test_data_parallel_matches_single_device",
+    "test_ts8_subpixel_head_on_mesh",
+    # r5 additions
+    "test_bootstrapped_ce_grad_flows_and_trains",
     # test_modulebench.py
     "test_grad_breakdown_rows_and_sanity", "test_grad_breakdown_without_optimizer",
     "test_grad_flops_exceed_forward_flops",

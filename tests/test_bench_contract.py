@@ -99,15 +99,55 @@ def test_bench_all_artifact_schema(tmp_path):
         artifact = json.load(f)
     validate_artifact(artifact)          # shared schema checker
     # The smoke run on CPU must produce REAL numbers (not error fallbacks)
-    # for every section — fault isolation is for flaky hardware, not CI.
+    # for every section and arm — fault isolation is for flaky hardware,
+    # not CI.
+    from gdkvm_tpu.eval.regression import ARMED_SECTIONS, ARMS, \
+        failed_sections
+    assert failed_sections(artifact) == []
     for name in SECTIONS:
         sec = artifact["sections"][name]
-        assert "error" not in sec, (name, sec)
-    assert artifact["sections"]["serve_112"]["frames_per_sec"] > 0
-    assert artifact["sections"]["quant_ab"]["fwd_ms_w8a8"] > 0
+        if name in ARMED_SECTIONS:
+            assert set(sec) == set(ARMS), (name, sec)
+    for arm in ARMS:                     # both model arms measured (v2)
+        assert artifact["sections"]["serve_112"][arm]["frames_per_sec"] > 0
+        qa = artifact["sections"]["quant_ab"][arm]["tiny"]
+        assert qa["fwd_ms_w8a8"] > 0
+        # Measurement quality is self-describing: raw interleaved pairs.
+        assert len(qa["pairs_raw_ms"]) >= 2
+        sb = artifact["sections"]["serve_bench"][arm]
+        # Tail attribution: wait vs service decomposition present.
+        qd = sb["queue_decomposition"]
+        assert qd["pieces"] > 0
+        assert qd["wait_ms_p99"] >= 0 and qd["service_ms_p50"] > 0
     # stdout carries the same artifact (pipe-able).
     printed = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert printed["schema"] == artifact["schema"]
+
+
+def test_bench_all_rejects_shape_flags():
+    """--mode all measures FIXED canonical shapes; shape/config flags that
+    would be silently ignored must be rejected (ADVICE r4)."""
+    import pytest
+    from gdkvm_tpu.cli import main
+    for bad in (["--chunk", "8"], ["--batch", "2"],
+                ["--image-size", "64"], ["--config", "x.yaml"],
+                ["model.num_heads=2"]):
+        with pytest.raises(SystemExit) as exc:
+            main(["bench", "--mode", "all", "--smoke", *bad])
+        assert exc.value.code == 2
+
+
+def test_failed_sections_reports_errors_and_nested_arms():
+    """failed_sections: errored sections (top-level and per-arm) are named;
+    skips don't count (the CLI exits nonzero on these outside --smoke)."""
+    from gdkvm_tpu.eval.regression import failed_sections
+    art = {"sections": {
+        "ok": {"frames_per_sec": 1.0},
+        "skipped": {"skipped": "needs TPU"},
+        "broken": {"error": "RuntimeError: boom"},
+        "armed": {"flagship": {"x": 1}, "ts8": {"error": "boom"}},
+    }}
+    assert failed_sections(art) == ["broken", "armed.ts8"]
 
 
 def test_modules_bench_mode():

@@ -115,6 +115,107 @@ def test_idle_session_gc_reclaims_slot(small_model):
         eng.close()
 
 
+def test_infer_rejects_recycled_slot_mid_staging(small_model):
+    """Slot-reuse race (ADVICE r4, medium): infer() resolves sid→slot,
+    then STAGES (device resize/split can take seconds).  If the session is
+    closed/GC'd and the slot recycled to a NEW client during staging, the
+    stale client's pieces must NOT be enqueued into the new session's
+    queue — the enqueue re-validates session identity under the lock."""
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=1,
+                         chunk=CHUNK, image_size=SIZE)
+    try:
+        s1 = eng.open_session()["session"]
+        staged, gate = threading.Event(), threading.Event()
+        orig = eng._split_fn
+
+        def slow_split(n):            # block mid-staging, deterministically
+            fn = orig(n)
+
+            def wrapped(v):
+                staged.set()
+                assert gate.wait(timeout=30)
+                return fn(v)
+            return wrapped
+
+        eng._split_fn = slow_split
+        err = {}
+
+        def run():
+            try:
+                eng.infer(s1, _video(1, t=2 * CHUNK))   # 2 pieces → split
+            except KeyError as exc:
+                err["e"] = exc
+
+        th = threading.Thread(target=run)
+        th.start()
+        assert staged.wait(timeout=30)
+        eng.close_session(s1)                 # GC reclaims mid-staging…
+        s2 = eng.open_session()["session"]    # …and the slot is recycled
+        eng._split_fn = orig
+        gate.set()
+        th.join(timeout=30)
+        assert not th.is_alive()
+        assert isinstance(err.get("e"), KeyError), err
+        slot2 = eng.slot_of(s2)               # (resolve OUTSIDE the lock
+        with eng._lock:                       # — it is not reentrant)
+            assert not eng._queues[slot2]     # new session unpolluted
+    finally:
+        eng.close()
+
+
+def test_gc_close_rechecks_staleness_under_one_lock(small_model):
+    """A session that becomes active between the GC's stale scan and the
+    close must be spared (ADVICE r4): _close_if_stale re-checks last
+    activity AND queue emptiness under one lock acquisition."""
+    import time as _time
+    from gdkvm_tpu.serve import _Piece
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=1,
+                         chunk=CHUNK, image_size=SIZE, session_ttl=None)
+    try:
+        sid = eng.open_session()["session"]
+        slot = eng.slot_of(sid)
+        eng.session_ttl = 30.0
+        # Scenario A: the scan said stale, then a request landed (all
+        # inside one lock hold so the batcher cannot interleave).
+        with eng._lock:
+            eng._last_active[slot] = _time.monotonic() - 60.0
+            assert eng._stale_sids() == [sid]       # old scan's verdict
+            eng._last_active[slot] = _time.monotonic()
+        assert eng._close_if_stale(sid) is False
+        assert eng.slot_of(sid) == slot             # spared
+        # Scenario B: stale by time but work queued → spared too.
+        eng.pause()
+        with eng._lock:
+            eng._last_active[slot] = _time.monotonic() - 60.0
+            eng._queues[slot].append(_Piece(None, 0))
+        assert eng._close_if_stale(sid) is False
+        with eng._lock:
+            eng._queues[slot].clear()
+            eng._last_active[slot] = _time.monotonic() - 60.0
+        eng.resume()
+        # Genuinely stale: closed (by this call or the batcher's GC —
+        # either way the slot is reclaimed).
+        eng._close_if_stale(sid)
+        deadline = _time.monotonic() + 10.0
+        while eng.slot_of(sid) is not None:
+            assert _time.monotonic() < deadline
+            _time.sleep(0.05)
+    finally:
+        eng.close()
+
+
+def test_client_failed_connect_leaves_no_half_connection():
+    """A transient failure during connect() must not leave a
+    half-initialized connection behind (ADVICE r4): a later request on a
+    leftover object would auto-connect WITHOUT TCP_NODELAY."""
+    c = ServeClient("127.0.0.1", 1, timeout=0.5)   # nothing listens here
+    with pytest.raises(OSError):
+        c.health()
+    assert c._c is None
+
+
 def test_engine_state_carry_across_infer_calls(small_model, engine):
     """Two infer() calls on one session ≡ one call over the whole video
     (the server-side GDR state carries between requests)."""

@@ -100,6 +100,70 @@ def test_data_parallel_matches_single_device(eight_devices):
         np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
 
 
+def test_ts8_subpixel_head_on_mesh(eight_devices):
+    """The ts8-shaped head (2-entry kpff_channels → sub-pixel depth-to-
+    space) under sharding propagation (VERDICT r4 item 6): its
+    reshape/transpose chain (models/decoder.py) is exactly the op class
+    that can trip propagation, and was only ever exercised single-device.
+    Covers: sharded train step (finite loss, single-device parity), and
+    mesh serving bit-exact vs stream_video."""
+    from gdkvm_tpu.eval.streaming import stream_video
+    from gdkvm_tpu.serve import BatchingEngine
+
+    cfg = _tiny()
+    cfg.model.kpff_channels = [24, 16]          # 2 entries → sub-pixel head
+    model = GDKVM(cfg=cfg.model)
+    tx = make_optimizer(cfg)
+    b = cfg.train.batch_size
+    rng = np.random.default_rng(3)
+    batch = Batch(
+        frames=rng.integers(0, 255, (b, 2, 32, 32, 1), np.uint8),
+        masks=rng.integers(0, 2, (b, 2, 32, 32)).astype(np.uint8),
+        valid=np.ones((b, 2), np.float32),
+    )
+    step_fn = make_train_step(model, tx, cfg)
+
+    state1 = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+    params0 = state1.params
+    state1, m1 = jax.jit(step_fn)(state1, jax.device_put(batch))
+
+    mesh = make_mesh()                          # 8-way data parallel
+    state8 = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+    state8 = jax.device_put(state8, replicated(mesh))
+    with mesh:
+        state8, m8 = jax.jit(step_fn)(
+            state8, jax.device_put(batch, batch_sharding(mesh)))
+    assert np.isfinite(float(m8["loss"]))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+
+    # dp × tp: the depth-to-space reshape must also compose with the
+    # model-axis head sharding.
+    mesh2 = make_mesh(data=4, model=2)
+    shardings = param_shardings(mesh2, params0)
+    params_tp = jax.device_put(params0, shardings)
+    frames = jax.device_put(
+        batch.frames[:4].astype(np.float32) / 255.0,
+        jax.sharding.NamedSharding(mesh2,
+                                   jax.sharding.PartitionSpec("data")))
+    with mesh2:
+        logits, _ = jax.jit(model.apply)(params_tp, frames)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # Mesh serving with the sub-pixel head: bit-exact vs stream_video.
+    video = rng.integers(0, 255, (6, 32, 32, 1), np.uint8)
+    eng = BatchingEngine(model=model, params=params0, streams=4,
+                         chunk=2, image_size=32,
+                         mesh=make_mesh(data=4, model=1))
+    try:
+        sid = eng.open_session()["session"]
+        got = eng.infer(sid, video)
+    finally:
+        eng.close()
+    want = stream_video(model, params0, video, chunk=2)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_model_axis_shards_lkva(eight_devices):
     """With model=2, LKVA head projections shard over the model axis and
     the forward still runs (tensor parallelism plumbed end-to-end)."""
