@@ -78,6 +78,14 @@ _SLOW_TESTS = frozenset({
     "test_ts8_subpixel_head_on_mesh",
     # r5 additions
     "test_bootstrapped_ce_grad_flows_and_trains",
+    # r5 re-tiering (VERDICT r4 item 7): quick had drifted to 266 s; every
+    # test that measured >~5 s on a clean solo run moves here.
+    "test_bench_all_artifact_schema", "test_memory_ablation_cli",
+    "test_two_scale_decoder_head", "test_group_norm_matches_flax",
+    "test_export_quantized_model_roundtrip", "test_stored_bwd_bf16_residuals",
+    "test_export_two_scale_decoder_roundtrip",
+    "test_assoc_streaming_equals_batched", "test_pallas_streaming_state_carry",
+    "test_prefetch_abandoned_consumer_stops_producer",
     # test_modulebench.py
     "test_grad_breakdown_rows_and_sanity", "test_grad_breakdown_without_optimizer",
     "test_grad_flops_exceed_forward_flops",
