@@ -4,8 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 2000 frames/sec/chip (north star, /root/repo/BASELINE.json) for
 streaming 112×112 segmentation with carried memory state on one TPU v5e.
 
-Flagship model config = EchoNet streaming (configs/echonet_stream.yaml
-model section): enc 32/64/96/128, 4 heads × 64×64 GDR state, bf16 compute.
+Model = ts8, the lane-aligned recommended configuration (r5 default
+decision, BASELINE.md r5.4): enc 64/64/128/192, 2-scale sub-pixel head,
+4 heads × 64×64 GDR state, bf16 compute.  GDKVM_BENCH_MODEL=flagship
+reproduces the rounds-1-4 headline model (enc 32/64/96/128, 3-scale head)
+— the r5 artifact measured both arms side by side (bench_all_r5.json:
+ts8 76.5k vs flagship 72.5k f/s at this shape).
 
 The headline is the SATURATED multi-stream number (8 independent videos
 in flight as one batched recurrence, chunk 32): it measures the chip, not
@@ -59,7 +63,15 @@ def main() -> None:
     # measured shape (BASELINE.md GDR crossover table).  Override with
     # GDKVM_BENCH_IMPL=chunked|pallas for A/Bs.
     impl = os.environ.get("GDKVM_BENCH_IMPL", "auto")
-    cfg = ModelConfig(num_classes=2, in_channels=1, gdr_impl=impl)
+    if os.environ.get("GDKVM_BENCH_MODEL", "ts8") == "flagship":
+        cfg = ModelConfig(num_classes=2, in_channels=1, gdr_impl=impl)
+    else:
+        # ts8: the recommended lane-aligned config (BASELINE.md r5.4).
+        cfg = ModelConfig(num_classes=2, in_channels=1, gdr_impl=impl,
+                          enc_channels=(64, 64, 128, 192),
+                          enc_blocks=(1, 1, 2, 2), num_heads=4,
+                          head_dim_k=64, head_dim_v=64,
+                          kpff_channels=(128, 96))
 
     model = GDKVM(cfg=cfg)
     params = init_params(model, jax.random.PRNGKey(0), image_size=112)
