@@ -80,6 +80,40 @@ def test_bootstrapped_ce_laws():
     assert float(ce_mean) < 0.5          # diluted 64×
 
 
+def test_bootstrapped_ce_masked_grad_matches_literal_topk():
+    """The shipped selection (stop-grad threshold + mask) must have the
+    SAME gradient as the literal top-k mean at non-degenerate inputs —
+    top-k selection is piecewise constant, so masking it out of the
+    gradient is exact a.e., not an approximation (the masked backward is
+    an elementwise multiply instead of the top_k adjoint's scatter; the
+    device cost A/B is BASELINE.md r5.5)."""
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((1, 2, 8, 8, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, (1, 2, 8, 8)), jnp.int32)
+    valid = jnp.ones((1, 2))
+
+    def shipped(lg):
+        return losses.segmentation_loss(
+            lg, labels, valid, bootstrap_ratio=0.25,
+            bootstrap_weight=1.0)[1]["ce"]
+
+    def literal(lg):
+        lgm = jnp.transpose(lg, (0, 1, 4, 2, 3))
+        logp = jax.nn.log_softmax(lgm, axis=2)
+        onehot = (labels[:, :, None] ==
+                  jnp.arange(3).reshape(1, 1, 3, 1, 1)).astype(logp.dtype)
+        pix = (-(logp * onehot).sum(2)).reshape(1, 2, 64)
+        top = jax.lax.top_k(pix, 16)[0]            # 16 = 0.25 · 64
+        return (top.mean(-1) * valid).sum() / valid.sum()
+
+    np.testing.assert_allclose(float(shipped(logits)),
+                               float(literal(logits)), rtol=1e-6)
+    g1 = jax.grad(shipped)(logits)
+    g2 = jax.grad(literal)(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_bootstrap_schedule_ramp():
     s = losses.bootstrap_schedule
     assert float(s(0, 1000, 0.2, 0.6)) == 0.0
