@@ -251,9 +251,10 @@ def cmd_quant(argv) -> int:
     (ops/quant.py), optionally with a measured quality check.
 
     v5e's MXU runs int8 at 2× the bf16 rate; the quantized path pays a
-    requant pass per conv, so it wins at compute-saturated serving shapes
-    and loses at memory-bound ones (BASELINE.md r3.8) — hence calibrate +
-    CHECK, never blind-enable.
+    requant pass per conv.  Encoder-scope measures 1.07-1.10× at every
+    shipped serving shape on both arms (BASELINE.md r5.1), but the win is
+    shape- and model-dependent — hence calibrate + CHECK, never
+    blind-enable.
     """
     import os
     import numpy as np

@@ -37,12 +37,13 @@ are).  Depthwise convs (KPFF local branch) are bandwidth-bound, not
 MXU-bound, and stay bf16.  Training is NEVER quantized (int8 has no grad
 story on v5e) — this is an inference-only transform.
 
-Measured motivation (v5e, floor-corrected; BASELINE.md r3.8): raw int8
-3×3 conv 1.43-1.99× over bf16; a full W8A8 ConvBlock with the repo
-GroupNorm between convs keeps +1.2× at the saturated 112² serving shape
-but LOSES at the memory-bound 256² recipe shape — so this is a
-serving-shape feature, off by default, gated by a measured quality check
-(`gdkvm quant --check`).
+Measured motivation (v5e, floor-corrected; BASELINE.md r3.8 + r5.1):
+raw int8 3×3 conv 1.43-1.99× over bf16; full-forward encoder-scope wins
+1.07-1.10× at BOTH the saturated 112² and the 256² recipe shape on both
+model arms (the r3.8-era "loses at memory-bound 256²" reading was
+superseded by the r5 interleaved re-measurement).  Still off by default
+and gated by a measured quality check (`gdkvm quant --check`) — the gate
+is per-checkpoint, not per-shape.
 """
 
 from __future__ import annotations
