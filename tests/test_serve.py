@@ -216,6 +216,51 @@ def test_client_failed_connect_leaves_no_half_connection():
     assert c._c is None
 
 
+def test_queue_stats_measure_real_waiting(small_model):
+    """drain_stats() semantics (VERDICT r4 item 4): pieces that genuinely
+    queue report positive wait and their depth at enqueue; an idle engine
+    reports ~zero wait.  (The r5 serve-bench used these samples to refute
+    the 'p99 is queueing' hypothesis — depth 0 everywhere — so the
+    instrument itself must demonstrably detect queueing.)"""
+    import time as _time
+    model, params = small_model
+    eng = BatchingEngine(model=model, params=params, streams=1,
+                         chunk=CHUNK, image_size=SIZE)
+    try:
+        sid = eng.open_session()["session"]
+        eng.infer(sid, _video(1, t=CHUNK))       # idle-engine request
+        idle = eng.drain_stats()
+        assert len(idle) == 1
+        assert idle[0][2] == 0                   # depth 0 at enqueue
+        # Now force queueing: hold the batcher, enqueue 3 pieces, sleep,
+        # release — every piece waited ≥ the hold time minus one tick.
+        eng.pause()
+        done = {}
+        th = threading.Thread(
+            target=lambda: done.__setitem__(
+                "m", eng.infer(sid, _video(2, t=3 * CHUNK))))
+        th.start()
+        for _ in range(200):                     # wait for the enqueue
+            with eng._lock:
+                if len(eng._queues[0]) == 3:
+                    break
+            _time.sleep(0.02)
+        _time.sleep(0.5)
+        eng.resume()
+        th.join(timeout=60)
+        assert not th.is_alive() and done["m"].shape == (3 * CHUNK, SIZE,
+                                                         SIZE)
+        stats = eng.drain_stats()
+        assert len(stats) == 3
+        waits = sorted(s[0] for s in stats)
+        depths = sorted(s[2] for s in stats)
+        assert depths == [0, 1, 2]               # pieces ahead recorded
+        assert waits[0] >= 400                   # held ≥0.5 s ⇒ real wait
+        assert all(s[1] > 0 for s in stats)      # service time positive
+    finally:
+        eng.close()
+
+
 def test_engine_state_carry_across_infer_calls(small_model, engine):
     """Two infer() calls on one session ≡ one call over the whole video
     (the server-side GDR state carries between requests)."""
